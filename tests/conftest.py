@@ -1,0 +1,73 @@
+"""Test harness configuration.
+
+Tests run on CPU with a virtual 8-device mesh so multi-chip sharding paths
+(tile-sharded rendering, gradient all-reduce) are exercised without TPU
+hardware — the driver separately dry-runs the multichip path.  Must set flags
+before JAX initializes.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from svo_raytracer_tpu.core import build_np  # noqa: E402
+
+
+def make_sphere_voxels(size: int = 32, radius: int | None = None,
+                       center=None, value: int = 1) -> np.ndarray:
+    """Dense voxel ball, the analog of chunkgen.comp's sampleSphere (:8-16)."""
+    if radius is None:
+        radius = size // 4
+    if center is None:
+        center = (size // 2,) * 3
+    x, y, z = np.meshgrid(*(np.arange(size),) * 3, indexing="ij")
+    dist = np.round(np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2
+                            + (z - center[2]) ** 2) - radius)
+    return np.where(dist <= 0, value, 0).astype(np.uint8)
+
+
+def make_terrain_voxels(size: int = 32, seed: int = 0) -> np.ndarray:
+    """Low-frequency pseudo-terrain with several materials — inhomogeneous
+    cells, exposed/interior regions, multiple node types."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0.2, 0.8, (4, 4))
+    hx = np.linspace(0, 3, size)
+    h = coarse[np.clip(hx.astype(int), 0, 3)[:, None],
+               np.clip(hx.astype(int), 0, 3)[None, :]]
+    heights = (h * size).astype(int)
+    x, y, z = np.meshgrid(*(np.arange(size),) * 3, indexing="ij")
+    solid = y <= heights[x, z]
+    near_surface = y >= heights[x, z] - 3
+    mat = np.where(near_surface, 3, 1)
+    return np.where(solid, mat, 0).astype(np.uint8)
+
+
+@pytest.fixture
+def sphere_voxels():
+    return make_sphere_voxels(32)
+
+
+@pytest.fixture
+def terrain_voxels():
+    return make_terrain_voxels(32)
+
+
+@pytest.fixture
+def sphere_tree(sphere_voxels):
+    return build_np.build_octree_np(sphere_voxels)
+
+
+@pytest.fixture
+def terrain_tree(terrain_voxels):
+    return build_np.build_octree_np(terrain_voxels)

@@ -9,12 +9,21 @@ before JAX initializes.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is read lazily at CPU-backend init, so setting it here works even
+# though this machine's sitecustomize imports jax at interpreter startup.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The host sitecustomize force-registers the axon TPU backend and overrides
+# JAX_PLATFORMS with "axon,cpu" (so env pinning is ignored).  The TPU tunnel
+# is single-client — a second process touching it deadlocks both — so tests
+# MUST pin CPU via jax.config, which wins over the sitecustomize value.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,130 @@
+"""Benchmark: traversal throughput on the reference's headline workload.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: 1024^3 procedural-terrain octree, 1920x1080 pathtraced GI
+(primary + 1 diffuse bounce = 2 traced segments per pixel — the reference's
+render mode 0, svotrace.comp:443-560).  vs_baseline is against the
+BASELINE.md target of 200 Mrays/s/chip.
+
+Usage:
+  python bench.py            # full: 1024^3 world, 1920x1080 (TPU)
+  python bench.py --small    # quick local check: 64^3, 320x180 (any backend)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TARGET_MRAYS = 200.0
+
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
+
+
+def build_scene(world_size: int, chunk_size: int):
+    """Build (or load from cache) the benchmark world.  The 1024^3 world
+    takes ~6 min to build on-chip (compile-dominated), so the SoA arrays are
+    cached as .npz across bench runs."""
+    import jax.numpy as jnp
+
+    from svo_raytracer_tpu.core.octree import Octree
+    from svo_raytracer_tpu.models import procgen, world
+
+    cache = os.path.join(CACHE_DIR, f"terrain_{world_size}_{chunk_size}.npz")
+    if os.path.exists(cache):
+        t0 = time.time()
+        z = np.load(cache)
+        tree = Octree(child=z["child"], mask=z["mask"], value=z["value"],
+                      normal=z["normal"], n_nodes=int(z["n_nodes"]),
+                      world_size=world_size)
+        return tree, time.time() - t0
+
+    # terrain band centered at y=0 like the reference's rootPos (0,-1024,0)
+    def gen(origin):
+        return procgen.generate_chunk(jnp.asarray(origin, jnp.int32),
+                                      chunk_size=chunk_size)
+
+    t0 = time.time()
+    tree = world.build_world(world_size, chunk_size, gen,
+                             chunk_capacity=1 << 24,
+                             world_offset=(0, -world_size // 2, 0),
+                             verbose=False)
+    build_s = time.time() - t0
+    tree = tree.to_numpy()
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    np.savez(cache, child=tree.child[:tree.n_nodes],
+             mask=tree.mask[:tree.n_nodes], value=tree.value[:tree.n_nodes],
+             normal=tree.normal[:tree.n_nodes],
+             n_nodes=np.asarray(tree.n_nodes))
+    return tree, build_s
+
+
+def main():
+    small = "--small" in sys.argv
+    if small:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from svo_raytracer_tpu.ops import shade
+    from svo_raytracer_tpu.utils.camera import Camera
+
+    world_size = 64 if small else 1024
+    chunk_size = 64 if small else 512
+    width, height = (320, 180) if small else (1920, 1080)
+
+    tree, build_s = build_scene(world_size, chunk_size)
+    tree = tree.to_device()
+    print(f"# scene: {world_size}^3, {tree.n_nodes} nodes, "
+          f"built in {build_s:.1f}s on {jax.devices()[0].platform}",
+          file=sys.stderr)
+
+    cam = Camera(pos=np.array([1.5, 1.55, 1.75]))
+    cam.rotate(-0.35, 0.4)
+    cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+
+    def frame(n):
+        color, depth, iters = shade.render_image(
+            tree.arrays(), cam5, width, height, render_mode=0,
+            frame_number=n, gi_bounces=1)
+        return color
+
+    t0 = time.time()
+    frame(1).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# first frame (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    n_frames = 3 if small else 5
+    t0 = time.time()
+    for i in range(n_frames):
+        out = frame(i + 2)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_frames
+
+    rays_per_frame = 2 * width * height  # primary + 1 GI segment
+    mrays = rays_per_frame / dt / 1e6
+    print(f"# steady frame: {dt * 1000:.1f} ms", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "Mrays/s/chip (1024^3 pathtraced GI)" if not small
+                  else "Mrays/s/chip (small smoke)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,21 +6,25 @@ node, parallelized with 8 host threads (``OctreeThread.java``).  The TPU-native
 re-design (SURVEY.md §7 delta 3) is a *level-synchronous* build:
 
   Phase A — bottom-up statistics, one fused pass per level: per-cell
-    homogeneity via min/max 2x pooling chains, the reference's quirky
+    homogeneity via min/max 2x strided-slice folds, the reference's quirky
     "value" pick (corner if nonzero else first-nonzero in (z,y,x) scan
-    order), voxel exposure via a 3^3 air dilation, digit-packed normals via
+    order — computed hierarchically as an argmin over raster-position keys),
+    voxel exposure via a 3^3 air dilation, digit-packed normals via
     separable shifted sums, and the corner-probe big-node exposure test.
   Phase B — top-down level-order allocation: branch ranks by prefix sum,
     children of rank-r branch occupy slots base + 8r .. base + 8r + 7, and
     per-level masked scatters emit value/mask/normal/child arrays.
 
+TPU layout note: shapes with tiny trailing dims (e.g. the naive
+``(n,2,n,2,n,2)`` pooling reshape) explode under the (8,128) tile layout —
+a 512^3 build OOMs at 32 GB.  Everything here sticks to layout-safe
+primitives: strided ``lax.slice`` reads for octant subsets and
+``lax.pad``-with-interior-padding sums for octant interleaves.
+
 Semantics are bit-equal to the NumPy oracle (``build_np.py``) — including the
 reference's corner-probe exposure quirk — and the emitted graph serializes to
 identical ``.svo`` bytes (allocation order differs: level-order here, DFS in
 the oracle; ``svo_format.export_svo`` canonicalizes both to BFS).
-
-Everything is shape-static given (grid size, max_lod, capacity): jit once per
-chunk size, reuse for every chunk.
 """
 
 from __future__ import annotations
@@ -35,29 +39,53 @@ from ..utils import constants as C
 from .octree import Octree
 
 i32 = jnp.int32
+_KEY_INF = jnp.iinfo(jnp.int32).max
 
 
-def _pool2_min_max(mn, mx):
-    """2x2x2 min/max reduction of [x,y,z]-indexed level stats."""
-    def pool(a, op):
-        n = a.shape[0] // 2
-        a = a.reshape(n, 2, n, 2, n, 2)
-        return op(op(op(a, 1), 2), 3)  # reduce the three '2' axes
-    return (pool(mn, lambda a, ax: jnp.min(a, axis=ax)),
-            pool(mx, lambda a, ax: jnp.max(a, axis=ax)))
+def _octant(a, ox, oy, oz):
+    """Strided octant subset a[ox::2, oy::2, oz::2] (layout-safe)."""
+    return jax.lax.slice(a, (ox, oy, oz), a.shape, (2, 2, 2))
 
 
-def _first_nonzero_scan(v, s):
-    """Per-cell first nonzero voxel in the reference's (z, y, x)-raster scan
-    order (z slowest, x fastest; Octree.java:534-536) for cell size s."""
-    n = v.shape[0] // s
-    cells = v.reshape(n, s, n, s, n, s)            # (xc, xo, yc, yo, zc, zo)
-    cells = cells.transpose(0, 2, 4, 5, 3, 1)       # (xc, yc, zc, zo, yo, xo)
-    flat = cells.reshape(n, n, n, s * s * s)
-    nz = flat != 0
-    idx = jnp.argmax(nz, axis=-1)
-    val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
-    return jnp.where(jnp.any(nz, axis=-1), val, 0)
+def _interleave8(subs):
+    """Assemble full[2i+ox, 2j+oy, 2k+oz] = subs[(ox,oy,oz)][i,j,k] via
+    interior-padded adds — no tiny-dim reshapes."""
+    total = None
+    for (ox, oy, oz), sub in subs.items():
+        padded = jax.lax.pad(sub, jnp.asarray(0, sub.dtype),
+                             [(ox, 1 - ox, 1), (oy, 1 - oy, 1),
+                              (oz, 1 - oz, 1)])
+        total = padded if total is None else total + padded
+    return total
+
+
+def _upsample2(a):
+    """full[2i+o] = a[i] for all octants o (nearest-neighbor x2)."""
+    return _interleave8({off: a for off in C.CHILD_OFFSETS})
+
+
+def _fold8(a, op):
+    """Reduce 2x2x2 blocks with ``op`` via strided octant reads."""
+    out = None
+    for (ox, oy, oz) in C.CHILD_OFFSETS:
+        sub = _octant(a, ox, oy, oz)
+        out = sub if out is None else op(out, sub)
+    return out
+
+
+def _min_key_fold(key, val):
+    """Per 2x2x2 block: (min key, value at min key)."""
+    ok, ov = None, None
+    for (ox, oy, oz) in C.CHILD_OFFSETS:
+        k = _octant(key, ox, oy, oz)
+        v = _octant(val, ox, oy, oz)
+        if ok is None:
+            ok, ov = k, v
+        else:
+            take = k < ok
+            ok = jnp.where(take, k, ok)
+            ov = jnp.where(take, v, ov)
+    return ok, ov
 
 
 def _voxel_exposure_and_normals(v):
@@ -67,7 +95,6 @@ def _voxel_exposure_and_normals(v):
     air = (v == 0).astype(i32)
 
     def shift_sum3(a, axis):
-        """a[i-1] + a[i] + a[i+1] along axis with zero padding."""
         lo = jnp.concatenate([jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis)),
                               jax.lax.slice_in_dim(a, 0, -1, axis=axis)], axis=axis)
         hi = jnp.concatenate([jax.lax.slice_in_dim(a, 1, None, axis=axis),
@@ -76,7 +103,6 @@ def _voxel_exposure_and_normals(v):
         return lo + a + hi
 
     def shift_diff(a, axis):
-        """a[i+1] - a[i-1] along axis (the -1/0/+1 offset weighting)."""
         lo = jnp.concatenate([jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis)),
                               jax.lax.slice_in_dim(a, 0, -1, axis=axis)], axis=axis)
         hi = jnp.concatenate([jax.lax.slice_in_dim(a, 1, None, axis=axis),
@@ -90,17 +116,14 @@ def _voxel_exposure_and_normals(v):
     nx = shift_diff(yz, 0)
     ny = shift_diff(xz, 1)
     nz_ = shift_diff(xy, 2)
-    count = shift_sum3(yz, 0)
-    exposed = count > 0
+    exposed = shift_sum3(yz, 0) > 0
 
     def trunc_half(a):
-        """Java int division by 2 truncates toward zero."""
+        # Java int division by 2 truncates toward zero
         return jnp.where(a < 0, -((-a) // 2), a // 2)
 
-    dx = trunc_half(nx) + 5
-    dy = trunc_half(ny) + 5
-    dz = trunc_half(nz_) + 5
-    packed = dx + dy * 10 + dz * 100
+    packed = (trunc_half(nx) + 5) + (trunc_half(ny) + 5) * 10 \
+        + (trunc_half(nz_) + 5) * 100
     return exposed, packed.astype(i32)
 
 
@@ -144,10 +167,21 @@ def build_octree_jax(voxels, max_lod: int | None = None,
         max_lod = levels
     max_lod = min(max_lod, levels)
 
-    # ---- Phase A: per-level stats (bottom-up) ----
+    # ---- Phase A: per-level stats (bottom-up, strided folds) ----
     mins, maxs = {levels: v}, {levels: v}
     for d in range(levels - 1, -1, -1):
-        mins[d], maxs[d] = _pool2_min_max(mins[d + 1], maxs[d + 1])
+        mins[d] = _fold8(mins[d + 1], jnp.minimum)
+        maxs[d] = _fold8(maxs[d + 1], jnp.maximum)
+
+    # first-nonzero in the reference's (z,y,x)-raster scan order, computed
+    # hierarchically: per-voxel key = z*S^2 + y*S + x (global raster position
+    # restricted to any cell preserves local scan order), argmin-folded.
+    ax = jnp.arange(S, dtype=i32)
+    raster = (ax[None, None, :] * S + ax[None, :, None]) * S + ax[:, None, None]
+    key0 = jnp.where(v != 0, raster, _KEY_INF)
+    keys, vals = {levels: key0}, {levels: v}
+    for d in range(levels - 1, -1, -1):
+        keys[d], vals[d] = _min_key_fold(keys[d + 1], vals[d + 1])
 
     exposed1, packed_normals = _voxel_exposure_and_normals(v)
 
@@ -160,26 +194,20 @@ def build_octree_jax(voxels, max_lod: int | None = None,
             value = corner
         else:
             homog = mins[d] == maxs[d]
-            first_nz = _first_nonzero_scan(v, s)
+            first_nz = jnp.where(keys[d] != _KEY_INF, vals[d], 0)
             leaf = homog
             value = jnp.where(homog, corner,
                               jnp.where(corner != 0, corner, first_nz))
         if s == 1:
             exp_ = exposed1
             normal = packed_normals
-            big = jnp.zeros_like(leaf)
-        else:
-            exp_ = jnp.zeros_like(leaf)
-            normal = jnp.zeros_like(corner)
-            big = _big_node_exposure(v, s)
-
-        # tag decision (Octree.java:556-599)
-        if s == 1:
             tag = jnp.where(
                 leaf & (value != 0),
                 jnp.where(exp_, C.TAG_SURFACE_LEAF, C.TAG_NON_SURFACE_LEAF),
                 jnp.where(leaf, C.TAG_NON_SURFACE_LEAF, C.TAG_BRANCH))
         else:
+            normal = jnp.zeros_like(corner)
+            big = _big_node_exposure(v, s)
             tag = jnp.where(
                 leaf & (value != 0),
                 jnp.where(big, C.TAG_BRANCH, C.TAG_SUBDIV_LEAF),
@@ -195,56 +223,47 @@ def build_octree_jax(voxels, max_lod: int | None = None,
     normal_arr = jnp.zeros(capacity, i32)
     value_arr = value_arr.at[0].set(1)  # root (dummy head, Octree.java:97-100)
 
-    # slot grid at level d: SoA index of each existing cell (-1 = absent)
-    slot = jnp.zeros((1, 1, 1), i32)  # root
-    # children of the root start at slot 8 (the oracle reserves 0..7)
-    level_base = 8
+    # full-grid running state at the parent level
+    parent_slot = jnp.zeros((1, 1, 1), i32)          # slot of each parent cell
+    parent_exists = jnp.ones((1, 1, 1), bool)
+    level_base = jnp.asarray(8, i32)                 # root block occupies 0..7
     n_nodes = jnp.asarray(8, i32)
 
     for d in range(1, max_lod + 1):
-        nd = 1 << d
         st = stats[d]
-        parent_slot = slot                                   # (nd/2,)^3
-        parent_exists = parent_slot >= 0
-
-        # branch cells at the parent level: the root is implicitly branch;
-        # others were tagged at their own level
         if d == 1:
             parent_branch = jnp.ones((1, 1, 1), bool)
         else:
             parent_branch = (stats[d - 1]["tag"] == C.TAG_BRANCH)
         pb = parent_exists & parent_branch
 
-        rank = jnp.cumsum(pb.reshape(-1).astype(i32)) - pb.reshape(-1).astype(i32)
-        rank = rank.reshape(pb.shape)
-        n_branch = jnp.sum(pb.astype(i32))
+        flat_pb = pb.reshape(-1).astype(i32)
+        rank = (jnp.cumsum(flat_pb) - flat_pb).reshape(pb.shape)
+        n_branch = jnp.sum(flat_pb)
+        child_base = level_base + 8 * rank           # per parent cell
 
-        child_base = level_base + 8 * rank                   # per parent cell
-        # write parent child pointers + masks
+        # parent child pointers + masks (mask assembled from child tags)
         cmask = jnp.zeros(pb.shape, i32)
         for k, (ox, oy, oz) in enumerate(C.CHILD_OFFSETS):
-            cmask = cmask | (st["tag"][ox::2, oy::2, oz::2] << (2 * k))
-        # absent cells scatter to index `capacity`, which mode="drop"
-        # discards (negative sentinels are not reliably dropped)
+            cmask = cmask | (_octant(st["tag"], ox, oy, oz) << (2 * k))
         pslots = jnp.where(pb, parent_slot, capacity).reshape(-1)
         child = child.at[pslots].set(
             jnp.where(pb, child_base, 0).reshape(-1), mode="drop")
         mask = mask.at[pslots].set(cmask.reshape(-1), mode="drop")
 
-        # emit the children themselves
-        cslot = jnp.full((nd, nd, nd), -1, i32)
-        for k, (ox, oy, oz) in enumerate(C.CHILD_OFFSETS):
-            cs = jnp.where(pb, child_base + k, -1)
-            cslot = cslot.at[ox::2, oy::2, oz::2].set(cs)
-        flat_slots = cslot.reshape(-1)
-        safe_slots = jnp.where(flat_slots >= 0, flat_slots, capacity)
+        # emit the children: slot[2i+o] = child_base[i] + octant_index(o)
+        cslot = _interleave8({
+            off: child_base + k for k, off in enumerate(C.CHILD_OFFSETS)})
+        cexists = _upsample2(pb)
+        safe_slots = jnp.where(cexists, cslot, capacity).reshape(-1)
         value_arr = value_arr.at[safe_slots].set(st["value"].reshape(-1),
                                                  mode="drop")
         normal_arr = normal_arr.at[safe_slots].set(st["normal"].reshape(-1),
                                                    mode="drop")
         level_base = level_base + 8 * n_branch
         n_nodes = n_nodes + 8 * n_branch
-        slot = cslot
+        parent_slot = cslot
+        parent_exists = cexists
 
     return child, mask, value_arr, normal_arr, n_nodes
 

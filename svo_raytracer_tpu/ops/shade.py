@@ -215,19 +215,27 @@ def shade_normals(tree_arrays, origins, dirs, max_depth=C.MAX_DEPTH,
     return col, depth, res.iters
 
 
-def pixel_dirs_device(cam5, width, height):
-    """Per-pixel unnormalized directions on device, flattened (H*W, 3).
+def pixel_dirs_rows(cam5, width, height, row0, nrows):
+    """Unnormalized ray directions for image rows [row0, row0+nrows),
+    flattened (nrows*width, 3).  ``row0`` may be traced (ray-tile sharding
+    passes each device its own row offset); ``nrows`` is static.
 
     dir = mix(mix(l1,l2,p.y), mix(r1,r2,p.y), p.x), p = (px+0.5)/size
-    (svotrace.comp:662-664).  Row-major with row 0 = p.y~0 (GL bottom row).
+    (svotrace.comp:662-664).  Row 0 = p.y~0 (GL bottom row).
     """
     l1, l2, r1, r2 = cam5[1], cam5[2], cam5[3], cam5[4]
     pxs = (jnp.arange(width, dtype=f32) + f32(0.5)) / f32(width)
-    pys = (jnp.arange(height, dtype=f32) + f32(0.5)) / f32(height)
+    pys = ((jnp.arange(nrows, dtype=f32) + jnp.asarray(row0, f32) + f32(0.5))
+           / f32(height))
     left = l1[None, :] + (l2 - l1)[None, :] * pys[:, None]
     right = r1[None, :] + (r2 - r1)[None, :] * pys[:, None]
     dirs = left[:, None, :] + (right - left)[:, None, :] * pxs[None, :, None]
     return dirs.reshape(-1, 3)
+
+
+def pixel_dirs_device(cam5, width, height):
+    """All per-pixel unnormalized directions, flattened (H*W, 3)."""
+    return pixel_dirs_rows(cam5, width, height, 0, height)
 
 
 def beam_prepass(tree_arrays, cam5, width, height, beam_tile=4,

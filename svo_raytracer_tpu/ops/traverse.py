@@ -126,8 +126,13 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     max_depth_v = jnp.broadcast_to(jnp.asarray(max_depth, i32), (B,))
     cone = jnp.broadcast_to(jnp.asarray(cone_trace, bool), (B,))
 
+    # Only parent node ids are stacked.  The reference also stacks t_max
+    # (svotrace.comp:317,357), but the stored value always equals the exit t
+    # of the popped cube, which is recomputable from the truncated corner
+    # position: per-axis t = pos*coef - bias is monotone in pos, so the
+    # min-chain through PUSH clippings telescopes to min over the cube's own
+    # three axis ts — bit-exactly (verified against the oracle).
     stack_node = jnp.zeros((MAX_SCALE + 1, B), i32)
-    stack_tmax = jnp.zeros((MAX_SCALE + 1, B), f32)
 
     done = jnp.zeros(B, bool)
     iters = jnp.zeros(B, i32)
@@ -141,7 +146,7 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         t_min=t_min, t_max=t_max, h=h, idx=idx, px=px, py=py_, pz=pz,
         parent=parent, parent_mask=parent_mask, scale=scale,
         scale_exp2=scale_exp2, max_depth=max_depth_v,
-        stack_node=stack_node, stack_tmax=stack_tmax, done=done, iters=iters,
+        stack_node=stack_node, done=done, iters=iters,
         n=jnp.asarray(0, i32),
     )
 
@@ -187,7 +192,6 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         at_scale = scale_iota == scale[None, :]            # (24, B) one-hot
         store_row = at_scale & do_store[None, :]
         stack_node = jnp.where(store_row, parent[None, :], s["stack_node"])
-        stack_tmax = jnp.where(store_row, t_max[None, :], s["stack_tmax"])
         hh = jnp.where(push, tc_max, hh)
 
         new_parent = jnp.where(push, ci, parent)
@@ -238,7 +242,6 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         safe_scale = jnp.clip(new_scale, 0, MAX_SCALE)
         at_pop = scale_iota == safe_scale[None, :]
         pop_parent = jnp.sum(jnp.where(at_pop, stack_node, 0), axis=0)
-        pop_tmax = jnp.sum(jnp.where(at_pop, stack_tmax, f32(0.0)), axis=0)
 
         shx = _bits(apx) >> safe_scale.astype(jnp.uint32)
         shy = _bits(apy) >> safe_scale.astype(jnp.uint32)
@@ -253,6 +256,16 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         parent = jnp.where(pop, pop_parent, parent)
         parent_mask = jnp.where(pop, mask_t[jnp.clip(pop_parent, 0, None)],
                                 parent_mask)
+        # The stack entry at scale s holds the cube at scale s+1 (the parent
+        # above the popped cell, svotrace.comp:316-317), so the stored t_max
+        # equals that parent cube's exit t — recompute it from pos truncated
+        # to scale+1 mantissa bits.
+        up = (safe_scale + 1).astype(jnp.uint32)
+        par_px = _float((_bits(apx) >> up) << up)
+        par_py = _float((_bits(apy) >> up) << up)
+        par_pz = _float((_bits(apz) >> up) << up)
+        pop_tmax = jnp.minimum(jnp.minimum(par_px * cx - bx, par_py * cy - by),
+                               par_pz * cz - bz)
         t_max = jnp.where(pop, pop_tmax, t_max)
         px = jnp.where(pop, pop_px, apx)
         py_ = jnp.where(pop, pop_py, apy)
@@ -265,7 +278,7 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         return dict(t_min=t_min, t_max=t_max, h=hh, idx=idx, px=px, py=py_,
                     pz=pz, parent=parent, parent_mask=parent_mask, scale=scale,
                     scale_exp2=scale_exp2, max_depth=max_depth_v,
-                    stack_node=stack_node, stack_tmax=stack_tmax, done=done,
+                    stack_node=stack_node, done=done,
                     iters=iters, n=s["n"] + 1)
 
     s = jax.lax.while_loop(cond_fn, body_fn, state)

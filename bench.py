@@ -76,6 +76,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE_DIR, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from svo_raytracer_tpu.ops import shade
@@ -91,8 +95,26 @@ def main():
           f"built in {build_s:.1f}s on {jax.devices()[0].platform}",
           file=sys.stderr)
 
-    cam = Camera(pos=np.array([1.5, 1.55, 1.75]))
+    # place the camera above the local terrain surface: probe with a few
+    # downward rays (d2h of a handful of floats only — the tunnel's
+    # device->host path is ~1 MB/s, never pull images here)
+    from svo_raytracer_tpu.ops import traverse
+
+    gx = np.linspace(1.2, 1.8, 5, dtype=np.float32)
+    pxz = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
+    probe_o = np.concatenate([pxz[:, :1], np.full((25, 1), 1.999, np.float32),
+                              pxz[:, 1:]], axis=1)
+    probe_d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (25, 1))
+    probe = traverse.intersect_octree(tree.arrays(), jnp.asarray(probe_o),
+                                      jnp.asarray(probe_d))
+    ts = np.asarray(probe.t)
+    best = int(np.argmax(ts))  # clearest column: deepest free fall
+    surf_y = 1.999 - float(ts[best])
+    cam = Camera(pos=np.array([probe_o[best, 0],
+                               min(surf_y + 0.05, 1.99), probe_o[best, 2]]))
     cam.rotate(-0.35, 0.4)
+    print(f"# camera at y={cam.pos[1]:.3f} (surface {surf_y:.3f})",
+          file=sys.stderr)
     cam5 = jnp.asarray(cam.uniform(), jnp.float32)
 
     def frame(n):

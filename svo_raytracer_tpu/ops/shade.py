@@ -109,10 +109,14 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
                            jnp.asarray(frame_number, f32))
     o, d = origins, dirs
     for seg in range(gi_bounces + 1):
+        # dead rays are masked out of the traversal entirely ("dead rays
+        # culled", benchmarks.md:5-6) — without this, a retired or
+        # NaN-direction ray spins the lock-step batch to the iteration cap
         res = traverse.intersect_octree(tree_arrays, o, d,
                                         max_depth=max_depth,
                                         cone_trace=(seg > 0),
-                                        max_iterations=max_iterations)
+                                        max_iterations=max_iterations,
+                                        active=active)
         hit = active & res.hit
         miss = active & ~res.hit
 
@@ -136,6 +140,11 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
 
         normal = jnp.nan_to_num(res.normal)
         newdir = cosine_bounce(normal, r)
+        # zero normals (non-surface hits / packed-raw 555) make the bounce
+        # frame degenerate -> NaN newdir; the reference's behavior there is
+        # GLSL-undefined, so pick the deterministic fallback of bouncing
+        # straight back
+        newdir = jnp.where(jnp.isfinite(newdir), newdir, -d)
         matcolor = material_color(res.value, res.voxel_pos)
 
         depth = jnp.where(hit, res.t, depth)
@@ -176,7 +185,8 @@ def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
                                    jnp.broadcast_to(SUN_DIR_DIRECT,
                                                     res.voxel_pos.shape),
                                    max_depth=max_depth,
-                                   max_iterations=max_iterations)
+                                   max_iterations=max_iterations,
+                                   active=res.hit)
     shadowed = sh.hit & (sh.t > sh.scale_exp2 * SQRT3)
     penumbra = ~shadowed & (sh.iters > 260)
     col = jnp.where(shadowed[:, None], col - f32(0.2), col)

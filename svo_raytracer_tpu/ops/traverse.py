@@ -62,16 +62,26 @@ def _find_msb(x):
     return i32(31) - jax.lax.clz(x.astype(jnp.uint32)).astype(i32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iterations", "stack_depth"))
 def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
-                     cone_trace=False, max_iterations=C.MAX_RAYCAST_ITERATIONS):
+                     cone_trace=False, max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                     active=None, stack_depth=C.MAX_DEPTH):
     """Trace a batch of rays.  origin/direction: (B, 3) float32.
 
     ``tree_arrays`` is the (child, mask, value, normal) tuple of int32 device
     arrays from :meth:`Octree.arrays`.  Returns a :class:`HitResult` of (B,)
     arrays.  ``max_depth``/``cone_trace`` may be python or traced scalars.
+
+    ``active`` (optional bool (B,)): rays marked inactive are never stepped
+    and report a miss — the "dead rays culled" strategy (benchmarks.md:5-6).
+    Inactive or NaN rays otherwise spin ADVANCE with an empty step mask until
+    the 1500-iteration cap, stalling the whole lock-step batch.
     """
     child_t, mask_t, value_t, normal_t = tree_arrays
+    if isinstance(max_depth, int) and max_depth > stack_depth:
+        raise ValueError(f"max_depth={max_depth} exceeds the static "
+                         f"stack_depth={stack_depth} stack window")
     o = origin.astype(f32)
     d = direction.astype(f32)
     B = o.shape[0]
@@ -132,15 +142,28 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     # position: per-axis t = pos*coef - bias is monotone in pos, so the
     # min-chain through PUSH clippings telescopes to min over the cube's own
     # three axis ts — bit-exactly (verified against the oracle).
-    stack_node = jnp.zeros((MAX_SCALE + 1, B), i32)
+    # The stack is indexed by scale, but pushes only ever land in scales
+    # [MAX_SCALE - stack_depth, MAX_SCALE - 1] (the depth cutoff at
+    # svotrace.comp:300-302 stops descent), so the carried stack is a
+    # stack_depth-row window — per-iteration stack traffic scales with the
+    # LOD depth, not the full 24 float-mantissa scales.  ``max_depth`` stays
+    # a cheap traced value; ``stack_depth`` is its static upper bound.
+    stack_lo = i32(MAX_SCALE - stack_depth)
+    stack_node = jnp.zeros((stack_depth, B), i32)
 
-    done = jnp.zeros(B, bool)
+    # NaN origins/directions never satisfy any step comparison and would
+    # spin to the iteration cap; retire them immediately as misses.
+    finite = (jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
+              & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz))
+    dead0 = ~finite if active is None else (~active | ~finite)
+    done = dead0
     iters = jnp.zeros(B, i32)
     # Stack reads/writes index by the per-ray scale.  A gather/scatter there
     # serializes on CPU and is slow on TPU; instead compare a broadcast iota
     # against the scale vector and do masked elementwise selects over the
-    # whole (24, B) stack — pure VPU work.
-    scale_iota = jnp.arange(MAX_SCALE + 1, dtype=i32)[:, None]  # (24, 1)
+    # stack window — pure VPU work.
+    scale_iota = (jnp.arange(stack_depth, dtype=i32)[:, None]
+                  + stack_lo)  # (stack_depth, 1) of absolute scales
 
     state = dict(
         t_min=t_min, t_max=t_max, h=h, idx=idx, px=px, py=py_, pz=pz,
@@ -308,8 +331,9 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     normal = jnp.stack([nx, ny, nz], axis=-1)
 
     # Rays still active at the iteration cap are misses, matching the
-    # early `return false` at svotrace.comp:264-266.
-    hit = s["done"] & (scale < MAX_SCALE) & (t_min <= t_max)
+    # early `return false` at svotrace.comp:264-266; pre-retired rays
+    # (inactive/NaN) are misses too.
+    hit = s["done"] & (scale < MAX_SCALE) & (t_min <= t_max) & ~dead0
     hit_pos = o + t_min[:, None] * d + normal * (scale_exp2 * 2)[:, None]
 
     vx = jnp.where(dx > 0, f32(3.0) - s["px"] - scale_exp2, s["px"])

@@ -85,12 +85,23 @@ def cosine_bounce(normal, r):
     return _normalize(d)
 
 
+def mirror_bounce(d, normal):
+    """Perfect mirror reflection (the commented-out branch at
+    svotrace.comp:500-504): d - 2*dot(d, n)*n."""
+    ndot = jnp.sum(d * normal, axis=-1, keepdims=True)
+    return d - 2.0 * ndot * normal
+
+
 def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
              gi_bounces=1, max_depth=C.MAX_DEPTH,
              max_iterations=C.MAX_RAYCAST_ITERATIONS, rng_mode="glsl",
-             rng_key=None):
-    """Render mode 0 (svotrace.comp:443-560): primary + `gi_bounces` diffuse
+             rng_key=None, mirror_values=()):
+    """Render mode 0 (svotrace.comp:443-560): primary + `gi_bounces`
     segments with sky/sun miss shading.
+
+    ``mirror_values``: material ids shaded as perfect mirrors instead of
+    lambertian diffuse — the reference's mirror experiments
+    (svotrace.comp:500-504, benchmarks.md:6,11,15).
 
     Reference quirks preserved: the per-pixel random is identical across
     segments (seeds never change inside the loop), so a bounce-miss sun test
@@ -140,6 +151,12 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
 
         normal = jnp.nan_to_num(res.normal)
         newdir = cosine_bounce(normal, r)
+        if mirror_values:
+            is_mirror = jnp.zeros(B, bool)
+            for v in mirror_values:
+                is_mirror = is_mirror | (res.value == v)
+            newdir = jnp.where(is_mirror[:, None], mirror_bounce(d, normal),
+                               newdir)
         # zero normals (non-surface hits / packed-raw 555) make the bounce
         # frame degenerate -> NaN newdir; the reference's behavior there is
         # GLSL-undefined, so pick the deterministic fallback of bouncing
@@ -149,6 +166,9 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
 
         depth = jnp.where(hit, res.t, depth)
         ndotl = jnp.sum(newdir * normal, axis=-1, keepdims=True)
+        if mirror_values:
+            # mirrors attenuate by albedo only (no cosine term)
+            ndotl = jnp.where(is_mirror[:, None], 1.0, ndotl)
         mask = jnp.where(hit[:, None], mask * matcolor * ndotl, mask)
         o = jnp.where(hit[:, None], res.voxel_pos, o)
         d = jnp.where(hit[:, None], newdir, d)
@@ -279,12 +299,12 @@ def beam_prepass(tree_arrays, cam5, width, height, beam_tile=4,
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "render_mode", "gi_bounces", "use_beam", "beam_tile",
-    "max_iterations", "rng_mode"))
+    "max_iterations", "rng_mode", "mirror_values"))
 def render_image(tree_arrays, cam5, width, height, render_mode=2,
                  frame_number=1, gi_bounces=1, use_beam=False, beam_tile=4,
                  max_depth=C.MAX_DEPTH,
                  max_iterations=C.MAX_RAYCAST_ITERATIONS, rng_mode="glsl",
-                 rng_key=None):
+                 rng_key=None, mirror_values=()):
     """Full-frame render — the per-frame GPU work of Main.updateEarly
     (Main.java:257-288) as one jitted function.
 
@@ -313,7 +333,8 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
     if render_mode == 0:
         col, depth, iters = shade_gi(tree_arrays, origins, dirs, px, py,
                                      frame_number, gi_bounces, max_depth,
-                                     max_iterations, rng_mode, rng_key)
+                                     max_iterations, rng_mode, rng_key,
+                                     mirror_values)
     elif render_mode == 1:
         col, depth, iters = shade_heatmap(tree_arrays, origins, dirs,
                                           max_depth, max_iterations)
@@ -328,3 +349,29 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
 
     return (col.reshape(height, width, 3), depth.reshape(height, width),
             iters.reshape(height, width))
+
+
+def render_progressive(tree_arrays, cam5, width, height, spp=4,
+                       gi_bounces=1, rng_key=None, mirror_values=(),
+                       max_depth=C.MAX_DEPTH,
+                       max_iterations=C.MAX_RAYCAST_ITERATIONS):
+    """Progressive pathtrace accumulation — done *properly*.
+
+    The reference plumbed ``frameNumber`` for running-average accumulation
+    but left it commented out (svotrace.comp:712-719, Main.java:162).  Here:
+    spp independent mode-0 samples with threefry counter RNG, averaged.
+    Returns (color, depth of last sample).
+    """
+    import jax as _jax
+
+    if rng_key is None:
+        rng_key = _jax.random.PRNGKey(0)
+    accum = None
+    for s in range(spp):
+        col, depth, _ = render_image(
+            tree_arrays, cam5, width, height, render_mode=0,
+            frame_number=s + 1, gi_bounces=gi_bounces, rng_mode="threefry",
+            rng_key=rng_key, mirror_values=mirror_values,
+            max_depth=max_depth, max_iterations=max_iterations)
+        accum = col if accum is None else accum + col
+    return accum / spp, depth

@@ -2,19 +2,33 @@
 
 The reference runs the Laine-Karras stack traversal one GL thread per pixel
 with data-dependent `while`/`break` (``src/shaders/svotrace.comp:211-432``).
-On a lock-step vector machine that becomes: a single ``lax.while_loop`` whose
-body advances *every ray in the batch* one traversal step, with per-ray active
-masks instead of ``break`` (SURVEY.md §2.2 row 1).  All per-ray state is
-structure-of-arrays ``(B,)`` vectors (TPU lanes want the batch on the last
-dim); node fetches are XLA gathers into the SoA node table.
+On a lock-step vector machine that becomes a while_loop whose body advances
+*every ray in the batch* one traversal step, with per-ray active masks
+instead of ``break`` (SURVEY.md §2.2 row 1).
+
+TPU-shaped design (measured on v5e):
+
+* Ray state is (R, 128) 2-D — 1-D (B,) vectors get a padded (1, B) tiled
+  layout that wastes 8x sublanes on every op.
+* The hot loop fetches ONE packed word per ray per step:
+  ``packed[i] = (effective_child_base << 1) | (value != 0)`` — the node's
+  2-bit type tag (stored in the *parent's* mask in the SoA/byte formats,
+  Octree.java:589-599) is folded into its own word, zeroing the child base
+  for non-branch tags exactly like the extract* functions
+  (svotrace.comp:103-130).  XLA:TPU gathers run at multi-G elem/s.
+* The loop is two-level: an inner K-step fori_loop whose carries stay in
+  registers (XLA fuses counter-conditioned loops into one kernel; an
+  any-ray-alive reduction in the cond forces a materialization, so it is
+  only checked once per K steps in the outer while_loop).
+* Iteration caps are per-ray (iters < max_iterations), exactly the
+  reference's per-thread `iter > MAX ? return false` (svotrace.comp:264-266).
+* The t_max stack of the reference is algebraically redundant (the popped
+  parent cube's exit t is recomputable from the truncated corner position —
+  bit-exactly), so only parent node ids are stacked, in a
+  (stack_depth, R, 128) window indexed by absolute scale.
 
 The float-mantissa POP trick (svotrace.comp:347-368) carries over unchanged:
-it is pure int32/float32 bit math (``bitcast_convert_type`` + ``clz``).
-
-This version is the correctness workhorse: state round-trips through HBM every
-iteration, so it is bandwidth-bound at roughly state_bytes x iterations.  The
-Pallas kernel (``traverse_pallas.py``) keeps ray state in VMEM and is the
-speed-of-light path.
+pure int32/float32 bit math (``bitcast_convert_type`` + ``clz``).
 """
 
 from __future__ import annotations
@@ -33,9 +47,13 @@ i32 = jnp.int32
 MAX_SCALE = C.MAX_SCALE
 _EPS = f32(C.EPSILON)
 
+LANES = 128
+#: inner fused steps between outer all-done checks
+INNER_STEPS = 8
+
 
 class HitResult(NamedTuple):
-    """Batched castResult (svotrace.comp:186-197); fields are (B,) / (B-,3)."""
+    """Batched castResult (svotrace.comp:186-197); fields are (B,) / (B,3)."""
 
     hit: jax.Array         # bool — scale < MAX_SCALE && t_min <= t_max
     value: jax.Array       # i32 material of hit node
@@ -62,37 +80,62 @@ def _find_msb(x):
     return i32(31) - jax.lax.clz(x.astype(jnp.uint32)).astype(i32)
 
 
+@jax.jit
+def make_packed_table(tree_arrays):
+    """(N,) int32 per-node word: (effective child base << 1) | value_nonzero."""
+    child, mask, value, normal = tree_arrays
+    n = child.shape[0]
+    tags = jnp.zeros(n, i32)
+    is_branch = child != 0
+    base = jnp.where(is_branch, child, n)  # n = dropped scatter sentinel
+    for k in range(8):
+        tags = tags.at[base + k].set(
+            jnp.where(is_branch, (mask >> (2 * k)) & 3, 0), mode="drop")
+    eff_child = jnp.where(tags == C.TAG_BRANCH, child, 0)
+    return (eff_child << 1) | (value != 0).astype(i32)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("max_iterations", "stack_depth"))
+                   static_argnames=("max_iterations", "stack_depth",
+                                    "inner_steps"))
 def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
                      cone_trace=False, max_iterations=C.MAX_RAYCAST_ITERATIONS,
-                     active=None, stack_depth=C.MAX_DEPTH):
+                     active=None, stack_depth=C.MAX_DEPTH, packed=None,
+                     inner_steps=None):
     """Trace a batch of rays.  origin/direction: (B, 3) float32.
 
     ``tree_arrays`` is the (child, mask, value, normal) tuple of int32 device
     arrays from :meth:`Octree.arrays`.  Returns a :class:`HitResult` of (B,)
-    arrays.  ``max_depth``/``cone_trace`` may be python or traced scalars.
+    arrays.  ``max_depth``/``cone_trace`` may be python or traced scalars;
+    ``max_depth`` must not exceed the static ``stack_depth``.
 
     ``active`` (optional bool (B,)): rays marked inactive are never stepped
     and report a miss — the "dead rays culled" strategy (benchmarks.md:5-6).
-    Inactive or NaN rays otherwise spin ADVANCE with an empty step mask until
-    the 1500-iteration cap, stalling the whole lock-step batch.
+    ``packed`` (optional): precomputed :func:`make_packed_table` output.
     """
     child_t, mask_t, value_t, normal_t = tree_arrays
     if isinstance(max_depth, int) and max_depth > stack_depth:
         raise ValueError(f"max_depth={max_depth} exceeds the static "
                          f"stack_depth={stack_depth} stack window")
+    if packed is None:
+        packed = make_packed_table(tree_arrays)
+
     o = origin.astype(f32)
     d = direction.astype(f32)
     B = o.shape[0]
+    pad = (-B) % LANES
+    R = (B + pad) // LANES
 
-    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    def shape2(a):
+        return jnp.pad(a, (0, pad)).reshape(R, LANES)
+
+    ox, oy, oz = shape2(o[:, 0]), shape2(o[:, 1]), shape2(o[:, 2])
+    dx0, dy0, dz0 = shape2(d[:, 0]), shape2(d[:, 1]), shape2(d[:, 2])
 
     def clamp(v):
         return jnp.where(jnp.abs(v) < _EPS, jnp.where(v >= 0, _EPS, -_EPS), v)
 
-    dx, dy, dz = clamp(dx), clamp(dy), clamp(dz)
+    dx, dy, dz = clamp(dx0), clamp(dy0), clamp(dz0)
 
     cx = f32(1.0) / -jnp.abs(dx)
     cy = f32(1.0) / -jnp.abs(dy)
@@ -101,10 +144,8 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     by = cy * oy
     bz = cz * oz
 
-    octant = jnp.zeros(B, i32)
-    octant = jnp.where(dx > 0, octant ^ 1, octant)
-    octant = jnp.where(dy > 0, octant ^ 2, octant)
-    octant = jnp.where(dz > 0, octant ^ 4, octant)
+    octant = ((dx > 0).astype(i32) | ((dy > 0).astype(i32) << 1)
+              | ((dz > 0).astype(i32) << 2))
     bx = jnp.where(dx > 0, f32(3.0) * cx - bx, bx)
     by = jnp.where(dy > 0, f32(3.0) * cy - by, by)
     bz = jnp.where(dz > 0, f32(3.0) * cz - bz, bz)
@@ -115,80 +156,59 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     t_min = jnp.maximum(t_min, f32(0.0))
     h = t_max
 
-    idx = jnp.zeros(B, i32)
-    px = jnp.full(B, 1.0, f32)
-    py_ = jnp.full(B, 1.0, f32)
-    pz = jnp.full(B, 1.0, f32)
     cond_x = f32(1.5) * cx - bx > t_min
     cond_y = f32(1.5) * cy - by > t_min
     cond_z = f32(1.5) * cz - bz > t_min
-    idx = jnp.where(cond_x, idx ^ 1, idx)
-    idx = jnp.where(cond_y, idx ^ 2, idx)
-    idx = jnp.where(cond_z, idx ^ 4, idx)
-    px = jnp.where(cond_x, f32(1.5), px)
-    py_ = jnp.where(cond_y, f32(1.5), py_)
-    pz = jnp.where(cond_z, f32(1.5), pz)
-
-    parent = jnp.zeros(B, i32)
-    parent_mask = jnp.broadcast_to(mask_t[0], (B,)).astype(i32)
-    scale = jnp.full(B, MAX_SCALE - 1, i32)
-    scale_exp2 = jnp.full(B, 0.5, f32)
-    max_depth_v = jnp.broadcast_to(jnp.asarray(max_depth, i32), (B,))
-    cone = jnp.broadcast_to(jnp.asarray(cone_trace, bool), (B,))
-
-    # Only parent node ids are stacked.  The reference also stacks t_max
-    # (svotrace.comp:317,357), but the stored value always equals the exit t
-    # of the popped cube, which is recomputable from the truncated corner
-    # position: per-axis t = pos*coef - bias is monotone in pos, so the
-    # min-chain through PUSH clippings telescopes to min over the cube's own
-    # three axis ts — bit-exactly (verified against the oracle).
-    # The stack is indexed by scale, but pushes only ever land in scales
-    # [MAX_SCALE - stack_depth, MAX_SCALE - 1] (the depth cutoff at
-    # svotrace.comp:300-302 stops descent), so the carried stack is a
-    # stack_depth-row window — per-iteration stack traffic scales with the
-    # LOD depth, not the full 24 float-mantissa scales.  ``max_depth`` stays
-    # a cheap traced value; ``stack_depth`` is its static upper bound.
-    stack_lo = i32(MAX_SCALE - stack_depth)
-    stack_node = jnp.zeros((stack_depth, B), i32)
+    idx = (cond_x.astype(i32) | (cond_y.astype(i32) << 1)
+           | (cond_z.astype(i32) << 2))
+    px = jnp.where(cond_x, f32(1.5), f32(1.0))
+    py_ = jnp.where(cond_y, f32(1.5), f32(1.0))
+    pz = jnp.where(cond_z, f32(1.5), f32(1.0))
 
     # NaN origins/directions never satisfy any step comparison and would
     # spin to the iteration cap; retire them immediately as misses.
     finite = (jnp.isfinite(ox) & jnp.isfinite(oy) & jnp.isfinite(oz)
-              & jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz))
-    dead0 = ~finite if active is None else (~active | ~finite)
-    done = dead0
-    iters = jnp.zeros(B, i32)
-    # Stack reads/writes index by the per-ray scale.  A gather/scatter there
-    # serializes on CPU and is slow on TPU; instead compare a broadcast iota
-    # against the scale vector and do masked elementwise selects over the
-    # stack window — pure VPU work.
-    scale_iota = (jnp.arange(stack_depth, dtype=i32)[:, None]
-                  + stack_lo)  # (stack_depth, 1) of absolute scales
+              & jnp.isfinite(dx0) & jnp.isfinite(dy0) & jnp.isfinite(dz0))
+    if active is None:
+        dead0 = ~finite
+    else:
+        act2 = shape2(active.astype(i32)) != 0
+        dead0 = ~act2 | ~finite
+
+    parent = jnp.zeros((R, LANES), i32)
+    parent_word = jnp.broadcast_to(packed[0], (R, LANES)).astype(i32)
+    scale = jnp.full((R, LANES), MAX_SCALE - 1, i32)
+    scale_exp2 = jnp.full((R, LANES), 0.5, f32)
+    max_depth_v = jnp.broadcast_to(jnp.asarray(max_depth, i32), (R, LANES))
+    cone = jnp.asarray(cone_trace, bool)
+
+    stack_lo = i32(MAX_SCALE - stack_depth)
+    stack_node = jnp.zeros((stack_depth, R, LANES), i32)
+    scale_iota = (jnp.arange(stack_depth, dtype=i32)[:, None, None]
+                  + stack_lo)
 
     state = dict(
         t_min=t_min, t_max=t_max, h=h, idx=idx, px=px, py=py_, pz=pz,
-        parent=parent, parent_mask=parent_mask, scale=scale,
+        parent=parent, parent_word=parent_word, scale=scale,
         scale_exp2=scale_exp2, max_depth=max_depth_v,
-        stack_node=stack_node, done=done, iters=iters,
-        n=jnp.asarray(0, i32),
+        stack_node=stack_node, done=dead0,
+        iters=jnp.zeros((R, LANES), i32),
     )
 
-    def cond_fn(s):
-        return jnp.logical_and(jnp.any(~s["done"]),
-                               s["n"] < jnp.asarray(max_iterations, i32))
+    max_it = i32(max_iterations)
 
-    def body_fn(s):
-        act = ~s["done"]
+    def step(s):
+        act = ~s["done"] & (s["iters"] < max_it)
         iters = s["iters"] + act.astype(i32)
         t_min, t_max, hh = s["t_min"], s["t_max"], s["h"]
         idx, scale, scale_exp2 = s["idx"], s["scale"], s["scale_exp2"]
         px, py_, pz = s["px"], s["py"], s["pz"]
-        parent, parent_mask = s["parent"], s["parent_mask"]
+        parent, parent_word = s["parent"], s["parent_word"]
 
         # cone-trace LOD clamp (svotrace.comp:275-277) — sticky like the
         # shader's in-place maxDepth assignment
-        max_depth_v = jnp.where(jnp.logical_and(cone, t_min > f32(0.05)),
-                                i32(11), s["max_depth"])
+        max_depth_v = jnp.where(cone & (t_min > f32(0.05)), i32(11),
+                                s["max_depth"])
 
         tx_corner = px * cx - bx
         ty_corner = py_ * cy - by
@@ -196,12 +216,12 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         tc_max = jnp.minimum(jnp.minimum(tx_corner, ty_corner), tz_corner)
 
         child_shift = idx ^ octant
-        ci = child_t[parent] + child_shift
-        tag = (parent_mask >> (2 * child_shift)) & 3
-        cvalue = value_t[ci]
-        ccp = jnp.where(tag == C.TAG_BRANCH, child_t[ci], i32(0))
+        ci = (parent_word >> 1) + child_shift
+        cword = packed[ci]                      # THE gather
+        cvalue_nz = (cword & 1) != 0
+        ccp = cword >> 1
 
-        hit_cond = act & (cvalue != 0) & (t_min <= t_max)
+        hit_cond = act & cvalue_nz & (t_min <= t_max)
         depth_break = hit_cond & (MAX_SCALE - scale == max_depth_v)
 
         tv_max = jnp.minimum(t_max, tc_max)
@@ -212,30 +232,24 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
 
         # --- PUSH (svotrace.comp:315-334) ---
         do_store = push & (tc_max < hh)
-        at_scale = scale_iota == scale[None, :]            # (24, B) one-hot
-        store_row = at_scale & do_store[None, :]
-        stack_node = jnp.where(store_row, parent[None, :], s["stack_node"])
+        store_row = (scale_iota == scale[None]) & do_store[None]
+        stack_node = jnp.where(store_row, parent[None], s["stack_node"])
         hh = jnp.where(push, tc_max, hh)
-
-        new_parent = jnp.where(push, ci, parent)
-        parent_mask = jnp.where(push, mask_t[ci], parent_mask)
-        parent = new_parent
+        parent = jnp.where(push, ci, parent)
+        parent_word = jnp.where(push, cword, parent_word)
 
         tx_center = half * cx + tx_corner
         ty_center = half * cy + ty_corner
         tz_center = half * cz + tz_corner
-        pidx = jnp.zeros(B, i32)
-        pidx = jnp.where(tx_center > t_min, pidx ^ 1, pidx)
-        pidx = jnp.where(ty_center > t_min, pidx ^ 2, pidx)
-        pidx = jnp.where(tz_center > t_min, pidx ^ 4, pidx)
-        ppx = jnp.where(tx_center > t_min, px + half, px)
-        ppy = jnp.where(ty_center > t_min, py_ + half, py_)
-        ppz = jnp.where(tz_center > t_min, pz + half, pz)
-
+        cxm = tx_center > t_min
+        cym = ty_center > t_min
+        czm = tz_center > t_min
+        pidx = (cxm.astype(i32) | (cym.astype(i32) << 1)
+                | (czm.astype(i32) << 2))
         idx = jnp.where(push, pidx, idx)
-        px = jnp.where(push, ppx, px)
-        py_ = jnp.where(push, ppy, py_)
-        pz = jnp.where(push, ppz, pz)
+        px = jnp.where(push & cxm, px + half, px)
+        py_ = jnp.where(push & cym, py_ + half, py_)
+        pz = jnp.where(push & czm, pz + half, pz)
         scale = jnp.where(push, scale - 1, scale)
         scale_exp2 = jnp.where(push, half, scale_exp2)
         t_max = jnp.where(push, tv_max, t_max)
@@ -255,7 +269,7 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
 
         # --- POP (svotrace.comp:347-368) ---
         pop = adv & ((idx & step_mask) != 0)
-        zero_u = jnp.zeros(B, jnp.uint32)
+        zero_u = jnp.zeros_like(_bits(apx))
         differing = jnp.where(sx, _bits(apx) ^ _bits(apx + scale_exp2), zero_u)
         differing |= jnp.where(sy, _bits(apy) ^ _bits(apy + scale_exp2), zero_u)
         differing |= jnp.where(sz, _bits(apz) ^ _bits(apz + scale_exp2), zero_u)
@@ -263,26 +277,27 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         new_exp2 = _float(((new_scale - MAX_SCALE + 127).astype(jnp.uint32)
                            << 23))
         safe_scale = jnp.clip(new_scale, 0, MAX_SCALE)
-        at_pop = scale_iota == safe_scale[None, :]
+        at_pop = scale_iota == safe_scale[None]
         pop_parent = jnp.sum(jnp.where(at_pop, stack_node, 0), axis=0)
+        pop_word = packed[pop_parent]           # second gather (POP only)
 
-        shx = _bits(apx) >> safe_scale.astype(jnp.uint32)
-        shy = _bits(apy) >> safe_scale.astype(jnp.uint32)
-        shz = _bits(apz) >> safe_scale.astype(jnp.uint32)
-        pop_px = _float(shx << safe_scale.astype(jnp.uint32))
-        pop_py = _float(shy << safe_scale.astype(jnp.uint32))
-        pop_pz = _float(shz << safe_scale.astype(jnp.uint32))
+        su = safe_scale.astype(jnp.uint32)
+        shx = _bits(apx) >> su
+        shy = _bits(apy) >> su
+        shz = _bits(apz) >> su
+        pop_px = _float(shx << su)
+        pop_py = _float(shy << su)
+        pop_pz = _float(shz << su)
         pop_idx = ((shx & 1) | ((shy & 1) << 1) | ((shz & 1) << 2)).astype(i32)
 
         scale = jnp.where(pop, new_scale, scale)
         scale_exp2 = jnp.where(pop, new_exp2, scale_exp2)
         parent = jnp.where(pop, pop_parent, parent)
-        parent_mask = jnp.where(pop, mask_t[jnp.clip(pop_parent, 0, None)],
-                                parent_mask)
+        parent_word = jnp.where(pop, pop_word, parent_word)
         # The stack entry at scale s holds the cube at scale s+1 (the parent
-        # above the popped cell, svotrace.comp:316-317), so the stored t_max
-        # equals that parent cube's exit t — recompute it from pos truncated
-        # to scale+1 mantissa bits.
+        # above the popped cell, svotrace.comp:316-317); the stored t_max
+        # always equals that parent cube's exit t, recomputable bit-exactly
+        # from pos truncated to scale+1 mantissa bits.
         up = (safe_scale + 1).astype(jnp.uint32)
         par_px = _float((_bits(apx) >> up) << up)
         par_py = _float((_bits(apy) >> up) << up)
@@ -296,24 +311,55 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         idx = jnp.where(pop, pop_idx, idx)
         hh = jnp.where(pop, f32(0.0), hh)
 
-        done = s["done"] | leaf_break | depth_break | (act & (scale >= MAX_SCALE))
+        done = (s["done"] | leaf_break | depth_break
+                | (act & (scale >= MAX_SCALE)))
 
         return dict(t_min=t_min, t_max=t_max, h=hh, idx=idx, px=px, py=py_,
-                    pz=pz, parent=parent, parent_mask=parent_mask, scale=scale,
-                    scale_exp2=scale_exp2, max_depth=max_depth_v,
-                    stack_node=stack_node, done=done,
-                    iters=iters, n=s["n"] + 1)
+                    pz=pz, parent=parent, parent_word=parent_word,
+                    scale=scale, scale_exp2=scale_exp2,
+                    max_depth=max_depth_v, stack_node=stack_node, done=done,
+                    iters=iters)
+
+    if inner_steps is None:
+        # fused multi-step inner bodies pay off on TPU (fewer outer
+        # materialization points); on CPU the masked over-stepping loses
+        inner_steps = INNER_STEPS if jax.default_backend() != "cpu" else 1
+
+    def inner(s, _):
+        for _ in range(inner_steps):
+            s = step(s)
+        return s, None
+
+    def cond_fn(carry):
+        s = carry
+        return jnp.any(~s["done"] & (s["iters"] < max_it))
+
+    def body_fn(s):
+        s, _ = inner(s, None)
+        return s
 
     s = jax.lax.while_loop(cond_fn, body_fn, state)
 
     # --- hit decode (svotrace.comp:380-431) ---
-    t_min, t_max = s["t_min"], s["t_max"]
-    idx, scale, scale_exp2 = s["idx"], s["scale"], s["scale_exp2"]
-    parent, parent_mask = s["parent"], s["parent_mask"]
+    def unshape(a):
+        return a.reshape(-1)[:B]
 
-    child_shift = idx ^ octant
+    t_min, t_max = unshape(s["t_min"]), unshape(s["t_max"])
+    idx = unshape(s["idx"])
+    scale, scale_exp2 = unshape(s["scale"]), unshape(s["scale_exp2"])
+    parent = unshape(s["parent"])
+    iters = unshape(s["iters"])
+    done = unshape(s["done"])
+    octant1 = unshape(octant)
+    px1, py1, pz1 = unshape(s["px"]), unshape(s["py"]), unshape(s["pz"])
+    dead1 = unshape(dead0)
+
+    # un-mirroring tests use the EPS-clamped direction (dir.x > 0 on the
+    # clamped dir, svotrace.comp:414-416)
+    dxo, dyo, dzo = unshape(dx), unshape(dy), unshape(dz)
+    child_shift = idx ^ octant1
     ci = child_t[parent] + child_shift
-    tag = (parent_mask >> (2 * child_shift)) & 3
+    tag = (mask_t[parent] >> (2 * child_shift)) & 3
     cvalue = value_t[ci]
 
     # effective raw normal field (tag-dependent; see octree.effective_normal_raw)
@@ -330,20 +376,19 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
     nz = jnp.where(has_normal, nz / nlen, f32(0.0))
     normal = jnp.stack([nx, ny, nz], axis=-1)
 
-    # Rays still active at the iteration cap are misses, matching the
-    # early `return false` at svotrace.comp:264-266; pre-retired rays
-    # (inactive/NaN) are misses too.
-    hit = s["done"] & (scale < MAX_SCALE) & (t_min <= t_max) & ~dead0
+    # Rays still active at the per-ray cap are misses, matching the early
+    # `return false` at svotrace.comp:264-266; pre-retired rays too.
+    hit = done & (scale < MAX_SCALE) & (t_min <= t_max) & ~dead1
     hit_pos = o + t_min[:, None] * d + normal * (scale_exp2 * 2)[:, None]
 
-    vx = jnp.where(dx > 0, f32(3.0) - s["px"] - scale_exp2, s["px"])
-    vy = jnp.where(dy > 0, f32(3.0) - s["py"] - scale_exp2, s["py"])
-    vz = jnp.where(dz > 0, f32(3.0) - s["pz"] - scale_exp2, s["pz"])
+    vx = jnp.where(dxo > 0, f32(3.0) - px1 - scale_exp2, px1)
+    vy = jnp.where(dyo > 0, f32(3.0) - py1 - scale_exp2, py1)
+    vz = jnp.where(dzo > 0, f32(3.0) - pz1 - scale_exp2, pz1)
     voxel_pos = (jnp.stack([vx, vy, vz], axis=-1)
                  + normal * (scale_exp2 * 2 * f32(1.74))[:, None])
 
     return HitResult(
-        hit=hit, value=jnp.where(hit, cvalue, 0), t=t_min, iters=s["iters"],
+        hit=hit, value=jnp.where(hit, cvalue, 0), t=t_min, iters=iters,
         scale_exp2=scale_exp2, depth=(MAX_SCALE - scale), normal=normal,
         hit_pos=hit_pos, voxel_pos=voxel_pos,
         node=jnp.where(hit, ci, -1),

@@ -95,9 +95,13 @@ def mirror_bounce(d, normal):
 def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
              gi_bounces=1, max_depth=C.MAX_DEPTH,
              max_iterations=C.MAX_RAYCAST_ITERATIONS, rng_mode="glsl",
-             rng_key=None, mirror_values=()):
+             rng_key=None, mirror_values=(), intersect_fn=None):
     """Render mode 0 (svotrace.comp:443-560): primary + `gi_bounces`
     segments with sky/sun miss shading.
+
+    ``intersect_fn``: optional replacement traversal with the signature of
+    ``intersect_octree`` minus the leading tree_arrays (used by the
+    brick-sharded path, parallel/bricks.py).
 
     ``mirror_values``: material ids shaded as perfect mirrors instead of
     lambertian diffuse — the reference's mirror experiments
@@ -108,6 +112,8 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
     on the re-sampled direction equals the actual bounce direction; depth is
     the *last* segment's hit distance (0 on bounce miss, -1 on primary miss).
     """
+    isect = intersect_fn or functools.partial(traverse.intersect_octree,
+                                              tree_arrays)
     B = origins.shape[0]
     accum = jnp.zeros((B, 3), f32)
     mask = jnp.ones((B, 3), f32)
@@ -123,11 +129,8 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
         # dead rays are masked out of the traversal entirely ("dead rays
         # culled", benchmarks.md:5-6) — without this, a retired or
         # NaN-direction ray spins the lock-step batch to the iteration cap
-        res = traverse.intersect_octree(tree_arrays, o, d,
-                                        max_depth=max_depth,
-                                        cone_trace=(seg > 0),
-                                        max_iterations=max_iterations,
-                                        active=active)
+        res = isect(o, d, max_depth=max_depth, cone_trace=(seg > 0),
+                    max_iterations=max_iterations, active=active)
         hit = active & res.hit
         miss = active & ~res.hit
 
@@ -179,11 +182,12 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
 
 def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
                  max_depth=C.MAX_DEPTH,
-                 max_iterations=C.MAX_RAYCAST_ITERATIONS):
+                 max_iterations=C.MAX_RAYCAST_ITERATIONS, intersect_fn=None):
     """Render mode 2 (svotrace.comp:572-632): albedo + phong + fog + shadow."""
-    res = traverse.intersect_octree(tree_arrays, origins, dirs,
-                                    max_depth=max_depth,
-                                    max_iterations=max_iterations)
+    isect = intersect_fn or functools.partial(traverse.intersect_octree,
+                                              tree_arrays)
+    res = isect(origins, dirs, max_depth=max_depth,
+                max_iterations=max_iterations)
     col = material_color_direct(res.value)
 
     normal = jnp.nan_to_num(res.normal)
@@ -201,12 +205,10 @@ def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
 
     # shadow ray from the hit voxel toward the sun (svotrace.comp:606-619);
     # the shader reuses `res`, so the scale/iter tests read the SHADOW hit
-    sh = traverse.intersect_octree(tree_arrays, res.voxel_pos,
-                                   jnp.broadcast_to(SUN_DIR_DIRECT,
-                                                    res.voxel_pos.shape),
-                                   max_depth=max_depth,
-                                   max_iterations=max_iterations,
-                                   active=res.hit)
+    sh = isect(res.voxel_pos,
+               jnp.broadcast_to(SUN_DIR_DIRECT, res.voxel_pos.shape),
+               max_depth=max_depth, max_iterations=max_iterations,
+               active=res.hit)
     shadowed = sh.hit & (sh.t > sh.scale_exp2 * SQRT3)
     penumbra = ~shadowed & (sh.iters > 260)
     col = jnp.where(shadowed[:, None], col - f32(0.2), col)
@@ -220,12 +222,14 @@ def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
 
 
 def shade_heatmap(tree_arrays, origins, dirs, max_depth=C.MAX_DEPTH,
-                  max_iterations=C.MAX_RAYCAST_ITERATIONS):
+                  max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                  intersect_fn=None):
     """Render mode 1 (svotrace.comp:561-571): traversal-cost visualization.
     Hits are 0.005*iter (svotrace.comp:428), misses 0.01*iter (:375)."""
-    res = traverse.intersect_octree(tree_arrays, origins, dirs,
-                                    max_depth=max_depth,
-                                    max_iterations=max_iterations)
+    isect = intersect_fn or functools.partial(traverse.intersect_octree,
+                                              tree_arrays)
+    res = isect(origins, dirs, max_depth=max_depth,
+                max_iterations=max_iterations)
     it = res.iters.astype(f32)
     v = jnp.where(res.hit, f32(0.005) * it, f32(0.01) * it)
     col = jnp.repeat(v[:, None], 3, axis=1)
@@ -234,11 +238,13 @@ def shade_heatmap(tree_arrays, origins, dirs, max_depth=C.MAX_DEPTH,
 
 
 def shade_normals(tree_arrays, origins, dirs, max_depth=C.MAX_DEPTH,
-                  max_iterations=C.MAX_RAYCAST_ITERATIONS):
+                  max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                  intersect_fn=None):
     """Render mode 3 (svotrace.comp:633-642): normal visualization."""
-    res = traverse.intersect_octree(tree_arrays, origins, dirs,
-                                    max_depth=max_depth,
-                                    max_iterations=max_iterations)
+    isect = intersect_fn or functools.partial(traverse.intersect_octree,
+                                              tree_arrays)
+    res = isect(origins, dirs, max_depth=max_depth,
+                max_iterations=max_iterations)
     col = jnp.where(res.hit[:, None], res.normal * f32(0.5) + f32(0.5),
                     f32(0.0))
     depth = jnp.where(res.hit, res.t, f32(0.0))

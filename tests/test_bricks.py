@@ -1,0 +1,193 @@
+"""Octree brick sharding: split correctness + sharded render vs monolith.
+
+The contract: a brick-split tree traced via nearest-hit combine equals the
+monolithic traversal (hits and values exact, t to FP rounding — the brick
+transform rescales every t by 2^level), and the shard_map path over the
+``bricks`` mesh axis equals the local all-bricks path bit-for-bit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from conftest import make_terrain_voxels
+from svo_raytracer_tpu.core import build_np
+from svo_raytracer_tpu.ops import shade, traverse
+from svo_raytracer_tpu.parallel import bricks as B
+from svo_raytracer_tpu.utils.camera import Camera
+
+f32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def tree():
+    return build_np.build_octree_np(make_terrain_voxels(64, seed=3))
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(7)
+    n = 512
+    # mix of outside-looking-in and inside-the-cube origins
+    o_out = np.array([1.5, 1.9, 1.9]) + rng.normal(0, 0.15, (n // 2, 3))
+    o_in = rng.uniform(1.05, 1.95, (n // 2, 3))
+    o = np.concatenate([o_out, o_in]).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_split_invariants(tree):
+    bs = B.split_bricks(tree, level=1)
+    assert bs.n_bricks == 8
+    t = tree.to_numpy()
+    # corners enumerate the 8 octants in child-bit order
+    expect = np.array([[1.0 + 0.5 * ox, 1.0 + 0.5 * oy, 1.0 + 0.5 * oz]
+                       for ox, oy, oz in
+                       [(k & 1, (k >> 1) & 1, (k >> 2) & 1)
+                        for k in range(8)]], np.float32)
+    np.testing.assert_array_equal(bs.corners, expect)
+    # orig maps every live slot to a node with identical payload
+    for b in range(8):
+        n = int(bs.n_nodes[b])
+        orig = np.asarray(bs.orig[b][:n])
+        assert (orig >= 0).all() and (orig < t.n_nodes).all()
+        np.testing.assert_array_equal(np.asarray(bs.value[b][:n]),
+                                      t.value[orig])
+        np.testing.assert_array_equal(np.asarray(bs.normal[b][1:n]),
+                                      t.normal[orig[1:]])
+    # node accounting: every *reachable* source node below the root appears
+    # exactly once across bricks (leaf octants synthesize 8 extra children)
+    reach = set()
+    stack = [0]
+    while stack:
+        p = stack.pop()
+        if t.child[p] == 0:
+            continue
+        m = int(t.mask[p])
+        for k in range(8):
+            c = int(t.child[p]) + k
+            reach.add(c)
+            if ((m >> (2 * k)) & 3) == 0:
+                stack.append(c)
+    synth = sum(8 for b in range(8) if int(bs.n_nodes[b]) == 9
+                and int(bs.child[b][0]) == 1 and int(bs.orig[b][0])
+                == int(bs.orig[b][1]))
+    total = sum(int(bs.n_nodes[b]) for b in range(8))
+    assert total == len(reach) + synth
+
+
+def test_level2_split(tree):
+    bs = B.split_bricks(tree, level=2)
+    assert bs.n_bricks == 64
+    assert np.isclose(bs.corners.max(), 1.75)
+
+
+def test_local_bricks_match_monolith(tree, rays):
+    o, d = rays
+    bs = B.split_bricks(tree, level=1).to_device()
+    ref = traverse.intersect_octree(tree.to_device().arrays(), o, d)
+    got = B.intersect_bricks_local(bs, o, d)
+
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(got.value)[h],
+                                  np.asarray(ref.value)[h])
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(ref.t)[h],
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got.node)[h],
+                                  np.asarray(ref.node)[h])
+    np.testing.assert_allclose(np.asarray(got.normal)[h],
+                               np.asarray(ref.normal)[h], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.voxel_pos)[h],
+                               np.asarray(ref.voxel_pos)[h],
+                               rtol=2e-6, atol=2e-6)
+    # depth is one finer only for homogeneous-leaf bricks; this terrain has
+    # branch octants everywhere a ray can hit, so depths agree exactly
+    np.testing.assert_array_equal(np.asarray(got.depth)[h],
+                                  np.asarray(ref.depth)[h])
+
+
+def test_level2_local_match(tree, rays):
+    o, d = rays
+    bs = B.split_bricks(tree, level=2).to_device()
+    ref = traverse.intersect_octree(tree.to_device().arrays(), o, d)
+    got = B.intersect_bricks_local(bs, o, d)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(got.value)[h],
+                                  np.asarray(ref.value)[h])
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(ref.t)[h],
+                               rtol=4e-6, atol=4e-6)
+
+
+def _cam():
+    cam = Camera(pos=np.array([1.5, 1.7, 1.85]))
+    cam.rotate(-0.5, 0.25)
+    return jnp.asarray(cam.uniform(), f32)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_sharded_brick_render_matches_monolith(tree, mode):
+    W, H = 64, 32
+    cam5 = _cam()
+    dtree = tree.to_device()
+    ref, _, _ = shade.render_image(dtree.arrays(), cam5, W, H,
+                                   render_mode=mode)
+
+    bs = B.split_bricks(tree, level=1).to_device()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("bricks",))
+    render = B.make_brick_render(mesh, bs, W, H, render_mode=mode)
+    got = np.asarray(render(bs, cam5))
+
+    ref = np.asarray(ref)
+    if mode == 1:
+        # iteration counts sum per-brick work; costs differ by design —
+        # just require sane, positive heat where the monolith has heat
+        assert got.shape == ref.shape and np.isfinite(got).all()
+        assert (got[ref[..., 0] > 0, 0] > 0).all()
+    elif mode == 2:
+        # shadow/penumbra terms key on shadow-ray iteration counts
+        # (svotrace.comp:614-619), which are per-brick sums under
+        # decomposition; a sliver of shadow-boundary pixels may flip
+        close = np.isclose(got, ref, rtol=1e-4, atol=2e-4).all(axis=-1)
+        assert close.mean() > 0.99, f"only {close.mean():.4f} match"
+        assert np.abs(got - ref).max() < 0.35  # bounded by the shadow term
+    else:
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
+
+
+def test_2d_mesh_tiles_x_bricks(tree):
+    W, H = 64, 32
+    cam5 = _cam()
+    dtree = tree.to_device()
+    ref, _, _ = shade.render_image(dtree.arrays(), cam5, W, H, render_mode=3)
+
+    bs = B.split_bricks(tree, level=1).to_device()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("tiles", "bricks"))
+    render = B.make_brick_render(mesh, bs, W, H, render_mode=3)
+    got = np.asarray(render(bs, cam5))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=2e-4)
+
+
+def test_brick_render_gi_finite(tree):
+    """Mode 0 across bricks: bounce chains cross brick boundaries; FP
+    reseeding can flip individual bounce paths, so assert statistical
+    agreement rather than pixel equality."""
+    W, H = 32, 16
+    cam5 = _cam()
+    dtree = tree.to_device()
+    ref, _, _ = shade.render_image(dtree.arrays(), cam5, W, H, render_mode=0,
+                                   frame_number=1)
+    bs = B.split_bricks(tree, level=1).to_device()
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("bricks",))
+    render = B.make_brick_render(mesh, bs, W, H, render_mode=0,
+                                 frame_number=1)
+    got = np.asarray(render(bs, cam5))
+    ref = np.asarray(ref)
+    assert np.isfinite(got).all()
+    close = np.isclose(got, ref, rtol=1e-3, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.98, f"only {close.mean():.3f} of pixels match"

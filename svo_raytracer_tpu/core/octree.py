@@ -122,6 +122,21 @@ class Octree:
         """(child, mask, value, normal) tuple for kernel calls."""
         return self.child, self.mask, self.value, self.normal
 
+    def packed_table(self):
+        """Device-cached traversal word table (ops/traverse.make_packed_table).
+
+        The packed word folds each node's 2-bit type tag into its own slot
+        via 8 scatters over the full table — O(N) work that must happen once
+        per *scene*, not once per frame (16M-node worlds spend seconds in
+        scatter on TPU).  Pass the result to render/intersect calls as
+        ``packed=``; invalidated by edits (core/sdf.py returns new tables).
+        """
+        if getattr(self, "_packed", None) is None:
+            from ..ops.traverse import make_packed_table
+
+            self._packed = make_packed_table(self.arrays())
+        return self._packed
+
 
 def empty(capacity: int, world_size: int) -> Octree:
     """A one-node octree: interior root with no children (value 1), matching

@@ -276,7 +276,7 @@ def pixel_dirs_device(cam5, width, height):
 
 def beam_prepass(tree_arrays, cam5, width, height, beam_tile=4,
                  max_depth=C.MAX_DEPTH,
-                 max_iterations=C.MAX_RAYCAST_ITERATIONS):
+                 max_iterations=C.MAX_RAYCAST_ITERATIONS, packed=None):
     """Coarse-ray prepass (svobeam.comp:618-636): one cone-traced ray per
     beam_tile x beam_tile pixel tile seeds a conservative start distance.
 
@@ -298,7 +298,8 @@ def beam_prepass(tree_arrays, cam5, width, height, beam_tile=4,
     origins = jnp.broadcast_to(cam5[0], dirs.shape)
     res = traverse.intersect_octree(tree_arrays, origins, dirs,
                                     max_depth=max_depth, cone_trace=True,
-                                    max_iterations=max_iterations)
+                                    max_iterations=max_iterations,
+                                    packed=packed)
     t = jnp.where(res.hit, res.t, f32(0.0))
     return t.reshape(bh, bw)
 
@@ -310,22 +311,30 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
                  frame_number=1, gi_bounces=1, use_beam=False, beam_tile=4,
                  max_depth=C.MAX_DEPTH,
                  max_iterations=C.MAX_RAYCAST_ITERATIONS, rng_mode="glsl",
-                 rng_key=None, mirror_values=()):
+                 rng_key=None, mirror_values=(), packed=None):
     """Full-frame render — the per-frame GPU work of Main.updateEarly
     (Main.java:257-288) as one jitted function.
 
     Returns (color (H,W,3), depth (H,W), iters (H,W)).  Row 0 is the GL
     bottom scanline; PNG writers flip.
+
+    ``packed``: optional scene-cached word table (Octree.packed_table()) —
+    without it every frame re-derives the table (8 full-table scatters, the
+    dominant per-frame cost on big worlds).
     """
     cam5 = jnp.asarray(cam5, f32)
     dirs_un = pixel_dirs_device(cam5, width, height)
     dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
     origins = jnp.broadcast_to(cam5[0], dirs.shape)
+    isect = None
+    if packed is not None:
+        isect = functools.partial(traverse.intersect_octree, tree_arrays,
+                                  packed=packed)
 
     beam = None
     if use_beam:
         bt = beam_prepass(tree_arrays, cam5, width, height, beam_tile,
-                          max_depth, max_iterations)
+                          max_depth, max_iterations, packed=packed)
         # fine pixel (x, y) reads beam cell (x//tile, y//tile)
         # (svotrace.comp:656-658)
         by = jnp.arange(height) // beam_tile
@@ -340,16 +349,19 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
         col, depth, iters = shade_gi(tree_arrays, origins, dirs, px, py,
                                      frame_number, gi_bounces, max_depth,
                                      max_iterations, rng_mode, rng_key,
-                                     mirror_values)
+                                     mirror_values, intersect_fn=isect)
     elif render_mode == 1:
         col, depth, iters = shade_heatmap(tree_arrays, origins, dirs,
-                                          max_depth, max_iterations)
+                                          max_depth, max_iterations,
+                                          intersect_fn=isect)
     elif render_mode == 2:
         col, depth, iters = shade_direct(tree_arrays, origins, dirs, beam,
-                                         max_depth, max_iterations)
+                                         max_depth, max_iterations,
+                                         intersect_fn=isect)
     elif render_mode == 3:
         col, depth, iters = shade_normals(tree_arrays, origins, dirs,
-                                          max_depth, max_iterations)
+                                          max_depth, max_iterations,
+                                          intersect_fn=isect)
     else:
         raise ValueError(f"unknown render mode {render_mode}")
 

@@ -388,6 +388,84 @@ def make_brick_render(mesh: Mesh, bricks: BrickSet, width: int, height: int,
     return render
 
 
+def make_brick_train_step(mesh: Mesh, bricks: BrickSet, width: int,
+                          height: int, lr: float = 0.5,
+                          max_iterations: int = C.MAX_RAYCAST_ITERATIONS):
+    """Differentiable-render SGD step with the octree brick-sharded (and rows
+    tile-sharded when the mesh has a ``tiles`` axis).
+
+    Voxel parameters stay replicated and node-table-aligned to the *source*
+    tree — the brick intersect returns global node ids (``orig`` remap), so
+    the forward gather / backward scatter-add address the global table
+    unchanged (diff/render_diff.py).  The brick-combine psum makes hit
+    geometry identical on every device along ``bricks``, so parameter
+    gradients only need the all-reduce over ``tiles`` (the DP analog);
+    autodiff differentiates *through* the brick collectives.
+
+    Returns ``step(params, brick_set, cam5, target) -> (params, loss)``.
+    """
+    from ..diff.render_diff import VoxelParams
+
+    has_tiles = "tiles" in mesh.axis_names
+    n_tiles = mesh.shape.get("tiles", 1)
+    nb = mesh.shape["bricks"]
+    assert bricks.n_bricks % nb == 0
+    assert height % n_tiles == 0
+    rows = height // n_tiles
+    level = bricks.level
+
+    brick_spec = P("bricks")
+    row_spec = P("tiles") if has_tiles else P()
+    rep = P()
+
+    def _local_loss(params, isect, cam5, row0, target_rows):
+        dirs = shade.pixel_dirs_rows(cam5, width, height, row0, rows)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = jnp.broadcast_to(cam5[0], dirs.shape)
+        res = isect(origins, dirs, max_iterations=max_iterations)
+        node = jnp.where(res.hit, res.node, 0)
+        alb = params.albedo[node]
+        den = jax.nn.softplus(params.density[node])
+        alpha = 1.0 - jnp.exp(-den * res.scale_exp2)
+        normal = jnp.nan_to_num(res.normal)
+        light = jnp.clip(jnp.sum(normal * shade.SUN_DIR_DIRECT[None, :],
+                                 axis=-1), 0.0, 1.0) * 0.7 + 0.3
+        surf = alb * light[:, None]
+        bg = shade.sky(dirs)
+        col = jnp.where(res.hit[:, None],
+                        alpha[:, None] * surf + (1 - alpha[:, None]) * bg, bg)
+        return jnp.sum((col.reshape(rows, width, 3) - target_rows) ** 2)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(rep, (brick_spec,) * 4, brick_spec, brick_spec, rep,
+                  row_spec, row_spec),
+        out_specs=(rep, rep), check_vma=False)
+    def _step(params, brick_arrays, corners, orig, cam5, row0, target_rows):
+        isect = make_brick_intersect(brick_arrays, corners, orig, level,
+                                     axis_name="bricks")
+        local_sum, grads = jax.value_and_grad(_local_loss)(
+            params, isect, cam5, row0[0], target_rows)
+        if has_tiles:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "tiles"), grads)
+            local_sum = jax.lax.psum(local_sum, "tiles")
+        denom = f32(height * width * 3)
+        new = VoxelParams(
+            albedo=params.albedo - lr * grads.albedo / denom,
+            density=params.density - lr * grads.density / denom,
+        )
+        return new, local_sum / denom
+
+    offs = jnp.arange(max(n_tiles, 1), dtype=i32) * rows
+    jstep = jax.jit(_step)
+
+    def step(params, bs: BrickSet, cam5, target):
+        return jstep(params, bs.arrays(), bs.corners, bs.orig,
+                     jnp.asarray(cam5, f32), offs, jnp.asarray(target, f32))
+
+    return step
+
+
 def intersect_bricks_local(bricks: BrickSet, origins, dirs, **kw):
     """Single-device reference path: traverse every brick locally and merge.
     Semantically equals ``traverse.intersect_octree`` on the unsplit tree

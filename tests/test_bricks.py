@@ -173,6 +173,47 @@ def test_2d_mesh_tiles_x_bricks(tree):
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=2e-4)
 
 
+def test_brick_train_step_matches_monolith(tree):
+    """One SGD step with tree brick-sharded + rows tile-sharded equals the
+    single-device train step (same rays, same model, global node ids)."""
+    from svo_raytracer_tpu.diff import render_diff as rd
+
+    W, H = 32, 16
+    cam5 = _cam()
+    dtree = tree.to_device()
+    params = rd.init_params(dtree.arrays())
+    target = rd.render_diff(params, dtree.arrays(), cam5, W, H) * 0.8
+
+    ref_params, ref_loss = rd.train_step(params, dtree.arrays(), cam5,
+                                         target, W, H, lr=1.0)
+
+    bs = B.split_bricks(tree, level=1).to_device()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("tiles", "bricks"))
+    step = B.make_brick_train_step(mesh, bs, W, H, lr=1.0)
+    got_params, got_loss = step(params, bs, cam5, target)
+
+    # rd.train_step normalizes loss by mean over H*W*3 = sum/denom — same
+    np.testing.assert_allclose(float(got_loss), float(ref_loss),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_params.albedo),
+                               np.asarray(ref_params.albedo),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_params.density),
+                               np.asarray(ref_params.density),
+                               rtol=1e-4, atol=1e-6)
+
+    # and the loss goes down over a few steps
+    p, prev = params, None
+    for _ in range(3):
+        p, loss = step(p, bs, cam5, target)
+        loss = float(loss)
+        assert np.isfinite(loss)
+        if prev is not None:
+            assert loss < prev
+        prev = loss
+
+
 def test_brick_render_gi_finite(tree):
     """Mode 0 across bricks: bounce chains cross brick boundaries; FP
     reseeding can flip individual bounce paths, so assert statistical

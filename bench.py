@@ -117,10 +117,17 @@ def main():
           file=sys.stderr)
     cam5 = jnp.asarray(cam.uniform(), jnp.float32)
 
+    # scene-constant packed word table (one-time cost, like the SSBO upload
+    # at Main.java:122); the staged host-driven frame driver is the
+    # production TPU path — full-frame jitted render_image at 1080p has
+    # faulted the device, and lock-step batches pay max(iters) x all lanes
+    packed = tree.packed_table()
+    packed.block_until_ready()
+
     def frame(n):
-        color, depth, iters = shade.render_image(
+        color, depth, iters = shade.render_frame_staged(
             tree.arrays(), cam5, width, height, render_mode=0,
-            frame_number=n, gi_bounces=1)
+            frame_number=n, gi_bounces=1, use_beam=True, packed=packed)
         return color
 
     t0 = time.time()

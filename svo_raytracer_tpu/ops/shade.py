@@ -180,14 +180,11 @@ def shade_gi(tree_arrays, origins, dirs, px, py, frame_number,
     return accum, depth, iters_out
 
 
-def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
-                 max_depth=C.MAX_DEPTH,
-                 max_iterations=C.MAX_RAYCAST_ITERATIONS, intersect_fn=None):
-    """Render mode 2 (svotrace.comp:572-632): albedo + phong + fog + shadow."""
-    isect = intersect_fn or functools.partial(traverse.intersect_octree,
-                                              tree_arrays)
-    res = isect(origins, dirs, max_depth=max_depth,
-                max_iterations=max_iterations)
+@jax.jit
+def direct_shade_math(dirs, res, sh, beam_dist):
+    """The pure-shading math of render mode 2 given the primary (``res``)
+    and shadow (``sh``) hit records — jitted separately so host-driven
+    traversal drivers (render_frame_staged) don't dispatch it op-by-op."""
     col = material_color_direct(res.value)
 
     normal = jnp.nan_to_num(res.normal)
@@ -195,20 +192,13 @@ def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
     flat = jnp.sum(jnp.asarray([0.0, 1.0, 0.0], f32) * SUN_DIR_DIRECT) * f32(0.1)
     col = col + jnp.where(res.depth >= 10, phong, flat)[:, None]
 
-    bd = jnp.zeros_like(res.t) if beam_dist is None else beam_dist
-    true_dist = res.t + bd
+    true_dist = res.t + beam_dist
     # per-channel exponential fog toward white, channel coefs 1/2/4
     # (svotrace.comp:595-604; the .g/.b fog swap is invisible on white fog)
     lam = jnp.exp(-f32(0.5) * true_dist[:, None]
                   * jnp.asarray([1.0, 2.0, 4.0], f32))
     col = lam * col + (f32(1.0) - lam)
 
-    # shadow ray from the hit voxel toward the sun (svotrace.comp:606-619);
-    # the shader reuses `res`, so the scale/iter tests read the SHADOW hit
-    sh = isect(res.voxel_pos,
-               jnp.broadcast_to(SUN_DIR_DIRECT, res.voxel_pos.shape),
-               max_depth=max_depth, max_iterations=max_iterations,
-               active=res.hit)
     shadowed = sh.hit & (sh.t > sh.scale_exp2 * SQRT3)
     penumbra = ~shadowed & (sh.iters > 260)
     col = jnp.where(shadowed[:, None], col - f32(0.2), col)
@@ -219,6 +209,24 @@ def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
     col = jnp.where(res.hit[:, None], col, sky(dirs))
     depth = jnp.where(res.hit, res.t, f32(0.0))
     return col, depth, res.iters
+
+
+def shade_direct(tree_arrays, origins, dirs, beam_dist=None,
+                 max_depth=C.MAX_DEPTH,
+                 max_iterations=C.MAX_RAYCAST_ITERATIONS, intersect_fn=None):
+    """Render mode 2 (svotrace.comp:572-632): albedo + phong + fog + shadow."""
+    isect = intersect_fn or functools.partial(traverse.intersect_octree,
+                                              tree_arrays)
+    res = isect(origins, dirs, max_depth=max_depth,
+                max_iterations=max_iterations)
+    # shadow ray from the hit voxel toward the sun (svotrace.comp:606-619);
+    # the shader reuses `res`, so the scale/iter tests read the SHADOW hit
+    sh = isect(res.voxel_pos,
+               jnp.broadcast_to(SUN_DIR_DIRECT, res.voxel_pos.shape),
+               max_depth=max_depth, max_iterations=max_iterations,
+               active=res.hit)
+    bd = jnp.zeros_like(res.t) if beam_dist is None else beam_dist
+    return direct_shade_math(dirs, res, sh, bd)
 
 
 def shade_heatmap(tree_arrays, origins, dirs, max_depth=C.MAX_DEPTH,
@@ -367,6 +375,92 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
 
     return (col.reshape(height, width, 3), depth.reshape(height, width),
             iters.reshape(height, width))
+
+
+def render_frame_staged(tree_arrays, cam5, width, height, render_mode=2,
+                        frame_number=1, gi_bounces=1, use_beam=True,
+                        beam_tile=4, max_depth=C.MAX_DEPTH,
+                        max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                        packed=None, row_block=None, round_steps=64):
+    """Host-driven full-frame render using the compacting staged traversal
+    (traverse.intersect_octree_staged) — the production frame path on TPU.
+
+    Differences from the fully-jitted :func:`render_image`:
+      * each traversal runs as host-driven rounds with ray compaction, so
+        the batch never pays max(iters) x all-lanes (the lock-step convoy);
+      * the frame is processed in ``row_block``-row slices, bounding gather
+        batch sizes (XLA:TPU gathers degrade past ~0.5M indices and full
+        1080p batches have faulted the device);
+      * the beam prepass (svobeam.comp) is ON by default — fine rays start
+        at the coarse conservative hit like the reference's default path.
+
+    Not jittable.  Returns (color (H,W,3), depth (H,W), iters (H,W)).
+    """
+    cam5 = jnp.asarray(cam5, f32)
+    if packed is None:
+        packed = traverse.make_packed_table(tree_arrays)
+    isect = functools.partial(traverse.intersect_octree_staged, tree_arrays,
+                              packed=packed, round_steps=round_steps,
+                              max_iterations=max_iterations)
+    if row_block is None:
+        row_block = max(1, min(height, (1 << 18) // width))
+    while height % row_block:
+        row_block -= 1
+
+    beam_img = None
+    if use_beam:
+        bw, bh = width // beam_tile, height // beam_tile
+        l1, l2, r1, r2 = cam5[1], cam5[2], cam5[3], cam5[4]
+        pxs = (jnp.arange(bw, dtype=f32) * beam_tile + f32(0.5)) / f32(width)
+        pys = (jnp.arange(bh, dtype=f32) * beam_tile + f32(0.5)) / f32(height)
+        left = l1[None, :] + (l2 - l1)[None, :] * pys[:, None]
+        right = r1[None, :] + (r2 - r1)[None, :] * pys[:, None]
+        bdirs = (left[:, None, :]
+                 + (right - left)[:, None, :] * pxs[None, :, None]
+                 ).reshape(-1, 3)
+        borig = jnp.broadcast_to(cam5[0], bdirs.shape)
+        bres = isect(borig, bdirs, max_depth=max_depth, cone_trace=True)
+        beam_img = jnp.where(bres.hit, bres.t, f32(0.0)).reshape(bh, bw)
+
+    cols, depths, iters = [], [], []
+    for r0 in range(0, height, row_block):
+        dirs_un = pixel_dirs_rows(cam5, width, height, r0, row_block)
+        dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
+        origins = jnp.broadcast_to(cam5[0], dirs.shape)
+        beam = None
+        if beam_img is not None:
+            by = (jnp.arange(r0, r0 + row_block)) // beam_tile
+            bx = jnp.arange(width) // beam_tile
+            beam = beam_img[by[:, None], bx[None, :]].reshape(-1)
+            origins = origins + dirs * beam[:, None]
+
+        if render_mode == 0:
+            px = jnp.tile(jnp.arange(width, dtype=f32), row_block)
+            py = jnp.repeat(jnp.arange(row_block, dtype=f32) + f32(r0), width)
+            c, d, it = shade_gi(None, origins, dirs, px, py, frame_number,
+                                gi_bounces, max_depth, max_iterations,
+                                intersect_fn=isect)
+        elif render_mode == 1:
+            c, d, it = shade_heatmap(None, origins, dirs, max_depth,
+                                     max_iterations, intersect_fn=isect)
+        elif render_mode == 2:
+            res = isect(origins, dirs, max_depth=max_depth)
+            sh = isect(res.voxel_pos,
+                       jnp.broadcast_to(SUN_DIR_DIRECT, res.voxel_pos.shape),
+                       max_depth=max_depth, active=res.hit)
+            bd = jnp.zeros_like(res.t) if beam is None else beam
+            c, d, it = direct_shade_math(dirs, res, sh, bd)
+        elif render_mode == 3:
+            c, d, it = shade_normals(None, origins, dirs, max_depth,
+                                     max_iterations, intersect_fn=isect)
+        else:
+            raise ValueError(f"unknown render mode {render_mode}")
+        cols.append(c.reshape(row_block, width, 3))
+        depths.append(d.reshape(row_block, width))
+        iters.append(it.reshape(row_block, width))
+
+    return (jnp.concatenate(cols), jnp.concatenate(depths),
+            jnp.concatenate(iters))
 
 
 def render_progressive(tree_arrays, cam5, width, height, spp=4,

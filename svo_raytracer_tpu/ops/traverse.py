@@ -48,8 +48,10 @@ MAX_SCALE = C.MAX_SCALE
 _EPS = f32(C.EPSILON)
 
 LANES = 128
-#: inner fused steps between outer all-done checks
-INNER_STEPS = 8
+#: inner fused steps between outer all-done checks (TPU sweep: 4 beats 8
+#: 47ms vs 71ms at 480x270 — fused over-stepping of done lanes costs more
+#: than the saved convergence checks beyond 4)
+INNER_STEPS = 4
 
 
 class HitResult(NamedTuple):
@@ -95,31 +97,13 @@ def make_packed_table(tree_arrays):
     return (eff_child << 1) | (value != 0).astype(i32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_iterations", "stack_depth",
-                                    "inner_steps"))
-def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
-                     cone_trace=False, max_iterations=C.MAX_RAYCAST_ITERATIONS,
-                     active=None, stack_depth=C.MAX_DEPTH, packed=None,
-                     inner_steps=None):
-    """Trace a batch of rays.  origin/direction: (B, 3) float32.
+def _setup(origin, direction, max_depth, cone_trace, active, stack_depth):
+    """Shared ray/state initialization (svotrace.comp:226-257).
 
-    ``tree_arrays`` is the (child, mask, value, normal) tuple of int32 device
-    arrays from :meth:`Octree.arrays`.  Returns a :class:`HitResult` of (B,)
-    arrays.  ``max_depth``/``cone_trace`` may be python or traced scalars;
-    ``max_depth`` must not exceed the static ``stack_depth``.
-
-    ``active`` (optional bool (B,)): rays marked inactive are never stepped
-    and report a miss — the "dead rays culled" strategy (benchmarks.md:5-6).
-    ``packed`` (optional): precomputed :func:`make_packed_table` output.
+    Returns ``(state, const)`` dicts of (R, 128)-shaped arrays: ``state``
+    evolves per step; ``const`` holds per-ray constants (t-coefficients,
+    mirror octant, clamped dirs, retirement mask) the step/decode read.
     """
-    child_t, mask_t, value_t, normal_t = tree_arrays
-    if isinstance(max_depth, int) and max_depth > stack_depth:
-        raise ValueError(f"max_depth={max_depth} exceeds the static "
-                         f"stack_depth={stack_depth} stack window")
-    if packed is None:
-        packed = make_packed_table(tree_arrays)
-
     o = origin.astype(f32)
     d = direction.astype(f32)
     B = o.shape[0]
@@ -176,26 +160,34 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         dead0 = ~act2 | ~finite
 
     parent = jnp.zeros((R, LANES), i32)
-    parent_word = jnp.broadcast_to(packed[0], (R, LANES)).astype(i32)
     scale = jnp.full((R, LANES), MAX_SCALE - 1, i32)
     scale_exp2 = jnp.full((R, LANES), 0.5, f32)
     max_depth_v = jnp.broadcast_to(jnp.asarray(max_depth, i32), (R, LANES))
     cone = jnp.asarray(cone_trace, bool)
 
-    stack_lo = i32(MAX_SCALE - stack_depth)
     stack_node = jnp.zeros((stack_depth, R, LANES), i32)
-    scale_iota = (jnp.arange(stack_depth, dtype=i32)[:, None, None]
-                  + stack_lo)
 
     state = dict(
         t_min=t_min, t_max=t_max, h=h, idx=idx, px=px, py=py_, pz=pz,
-        parent=parent, parent_word=parent_word, scale=scale,
+        parent=parent, parent_word=jnp.zeros((R, LANES), i32), scale=scale,
         scale_exp2=scale_exp2, max_depth=max_depth_v,
-        stack_node=stack_node, done=dead0,
-        iters=jnp.zeros((R, LANES), i32),
+        stack_node=stack_node, stack_word=jnp.zeros_like(stack_node),
+        done=dead0, iters=jnp.zeros((R, LANES), i32),
     )
+    const = dict(cx=cx, cy=cy, cz=cz, bx=bx, by=by, bz=bz, octant=octant,
+                 dead0=dead0, dx=dx, dy=dy, dz=dz)
+    return state, const, cone, B
 
-    max_it = i32(max_iterations)
+
+def _make_step(const, packed, max_it, cone, stack_depth):
+    """Build the one-traversal-step function over (R, 128) state."""
+    cx, cy, cz = const["cx"], const["cy"], const["cz"]
+    bx, by, bz = const["bx"], const["by"], const["bz"]
+    octant = const["octant"]
+    stack_lo = i32(MAX_SCALE - stack_depth)
+    scale_iota = (jnp.arange(stack_depth, dtype=i32)[:, None, None]
+                  + stack_lo)
+    root_word = packed[0]  # loop-invariant; hoisted out of the hot loop
 
     def step(s):
         act = ~s["done"] & (s["iters"] < max_it)
@@ -231,9 +223,13 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         push = descend & ~leaf_break
 
         # --- PUSH (svotrace.comp:315-334) ---
+        # the parent's packed word is stacked alongside its id so POP needs
+        # no table fetch — one random gather per step instead of two (the
+        # gather op, not its width, dominates per-step cost on TPU)
         do_store = push & (tc_max < hh)
         store_row = (scale_iota == scale[None]) & do_store[None]
         stack_node = jnp.where(store_row, parent[None], s["stack_node"])
+        stack_word = jnp.where(store_row, parent_word[None], s["stack_word"])
         hh = jnp.where(push, tc_max, hh)
         parent = jnp.where(push, ci, parent)
         parent_word = jnp.where(push, cword, parent_word)
@@ -279,7 +275,10 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         safe_scale = jnp.clip(new_scale, 0, MAX_SCALE)
         at_pop = scale_iota == safe_scale[None]
         pop_parent = jnp.sum(jnp.where(at_pop, stack_node, 0), axis=0)
-        pop_word = packed[pop_parent]           # second gather (POP only)
+        # unstored slots hold (node 0, word 0); node 0's true word is the
+        # root's, so substitute it — matches the old packed[0] fetch exactly
+        pop_word = jnp.sum(jnp.where(at_pop, stack_word, 0), axis=0)
+        pop_word = jnp.where(pop_parent == 0, root_word, pop_word)
 
         su = safe_scale.astype(jnp.uint32)
         shx = _bits(apx) >> su
@@ -317,46 +316,28 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         return dict(t_min=t_min, t_max=t_max, h=hh, idx=idx, px=px, py=py_,
                     pz=pz, parent=parent, parent_word=parent_word,
                     scale=scale, scale_exp2=scale_exp2,
-                    max_depth=max_depth_v, stack_node=stack_node, done=done,
-                    iters=iters)
+                    max_depth=max_depth_v, stack_node=stack_node,
+                    stack_word=stack_word, done=done, iters=iters)
 
-    if inner_steps is None:
-        # fused multi-step inner bodies pay off on TPU (fewer outer
-        # materialization points); on CPU the masked over-stepping loses
-        inner_steps = INNER_STEPS if jax.default_backend() != "cpu" else 1
+    return step
 
-    def inner(s, _):
-        for _ in range(inner_steps):
-            s = step(s)
-        return s, None
 
-    def cond_fn(carry):
-        s = carry
-        return jnp.any(~s["done"] & (s["iters"] < max_it))
-
-    def body_fn(s):
-        s, _ = inner(s, None)
-        return s
-
-    s = jax.lax.while_loop(cond_fn, body_fn, state)
-
-    # --- hit decode (svotrace.comp:380-431) ---
-    def unshape(a):
-        return a.reshape(-1)[:B]
-
-    t_min, t_max = unshape(s["t_min"]), unshape(s["t_max"])
-    idx = unshape(s["idx"])
-    scale, scale_exp2 = unshape(s["scale"]), unshape(s["scale_exp2"])
-    parent = unshape(s["parent"])
-    iters = unshape(s["iters"])
-    done = unshape(s["done"])
-    octant1 = unshape(octant)
-    px1, py1, pz1 = unshape(s["px"]), unshape(s["py"]), unshape(s["pz"])
-    dead1 = unshape(dead0)
+def _decode(sf, tree_arrays, o, d):
+    """Hit decode (svotrace.comp:380-431) over FLAT (B,) state+const fields."""
+    child_t, mask_t, value_t, normal_t = tree_arrays
+    t_min, t_max = sf["t_min"], sf["t_max"]
+    idx = sf["idx"]
+    scale, scale_exp2 = sf["scale"], sf["scale_exp2"]
+    parent = sf["parent"]
+    iters = sf["iters"]
+    done = sf["done"]
+    octant1 = sf["octant"]
+    px1, py1, pz1 = sf["px"], sf["py"], sf["pz"]
+    dead1 = sf["dead0"]
 
     # un-mirroring tests use the EPS-clamped direction (dir.x > 0 on the
     # clamped dir, svotrace.comp:414-416)
-    dxo, dyo, dzo = unshape(dx), unshape(dy), unshape(dz)
+    dxo, dyo, dzo = sf["dx"], sf["dy"], sf["dz"]
     child_shift = idx ^ octant1
     ci = child_t[parent] + child_shift
     tag = (mask_t[parent] >> (2 * child_shift)) & 3
@@ -393,3 +374,196 @@ def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
         hit_pos=hit_pos, voxel_pos=voxel_pos,
         node=jnp.where(hit, ci, -1),
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_iterations", "stack_depth",
+                                    "inner_steps"))
+def intersect_octree(tree_arrays, origin, direction, max_depth=C.MAX_DEPTH,
+                     cone_trace=False, max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                     active=None, stack_depth=C.MAX_DEPTH, packed=None,
+                     inner_steps=None):
+    """Trace a batch of rays.  origin/direction: (B, 3) float32.
+
+    ``tree_arrays`` is the (child, mask, value, normal) tuple of int32 device
+    arrays from :meth:`Octree.arrays`.  Returns a :class:`HitResult` of (B,)
+    arrays.  ``max_depth``/``cone_trace`` may be python or traced scalars;
+    ``max_depth`` must not exceed the static ``stack_depth``.
+
+    ``active`` (optional bool (B,)): rays marked inactive are never stepped
+    and report a miss — the "dead rays culled" strategy (benchmarks.md:5-6).
+    ``packed`` (optional): precomputed :func:`make_packed_table` output.
+    """
+    if isinstance(max_depth, int) and max_depth > stack_depth:
+        raise ValueError(f"max_depth={max_depth} exceeds the static "
+                         f"stack_depth={stack_depth} stack window")
+    if packed is None:
+        packed = make_packed_table(tree_arrays)
+
+    state, const, cone, B = _setup(origin, direction, max_depth, cone_trace,
+                                   active, stack_depth)
+    state["parent_word"] = jnp.broadcast_to(
+        packed[0], state["parent"].shape).astype(i32)
+    max_it = i32(max_iterations)
+    step = _make_step(const, packed, max_it, cone, stack_depth)
+
+    if inner_steps is None:
+        # fused multi-step inner bodies pay off on TPU (fewer outer
+        # materialization points); on CPU the masked over-stepping loses
+        inner_steps = INNER_STEPS if jax.default_backend() != "cpu" else 1
+
+    def cond_fn(s):
+        return jnp.any(~s["done"] & (s["iters"] < max_it))
+
+    def body_fn(s):
+        for _ in range(inner_steps):
+            s = step(s)
+        return s
+
+    s = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    def unshape(a):
+        return a.reshape(-1)[:B]
+
+    sf = {k: unshape(s[k]) for k in _DECODE_STATE}
+    for k in _DECODE_CONST:
+        sf[k] = unshape(const[k])
+    return _decode(sf, tree_arrays, origin.astype(f32), direction.astype(f32))
+
+
+#: state fields the decode needs (everything else is traversal scratch)
+_DECODE_STATE = ("t_min", "t_max", "idx", "px", "py", "pz", "parent",
+                 "scale", "scale_exp2", "iters", "done")
+_DECODE_CONST = ("octant", "dead0", "dx", "dy", "dz")
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth",))
+def _setup_jit(origin, direction, max_depth, cone_trace, active, stack_depth,
+               packed):
+    """One-program ray setup for host-driven drivers: ~30 eager dispatches
+    otherwise, each a round-trip on the TPU tunnel.  Note the standalone
+    program's FMA contraction differs by ulps from the setup fused inside
+    :func:`intersect_octree`'s single program — integer step counts are
+    chaotic under that, so cross-path comparisons are statistical only."""
+    state, const, _, _ = _setup(origin, direction, max_depth, cone_trace,
+                                active, stack_depth)
+    state["parent_word"] = jnp.broadcast_to(
+        packed[0], state["parent"].shape).astype(i32)
+    return state, const
+
+
+_decode_jit = jax.jit(_decode)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "max_iterations",
+                                             "stack_depth", "inner_steps"))
+def _run_block(state, const, packed, cone, steps, max_iterations,
+               stack_depth, inner_steps=INNER_STEPS):
+    """Advance every ray ``steps`` traversal steps (no convergence check);
+    returns the new state and the number of still-active rays (one scalar —
+    the only device->host traffic of the staged driver's loop)."""
+    max_it = i32(max_iterations)
+    step = _make_step(const, packed, max_it, cone, stack_depth)
+
+    def body(_, s):
+        for _ in range(inner_steps):
+            s = step(s)
+        return s
+
+    s = jax.lax.fori_loop(0, steps // inner_steps, body, state)
+    n_active = jnp.sum((~s["done"] & (s["iters"] < max_it)).astype(i32))
+    return s, n_active
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _compact(state, const, perm, acc, out_rows):
+    """Retire finished rays and densify the survivors to ``out_rows``*128
+    lanes: final state of every current ray is scattered into the full-size
+    accumulator at its original slot, then still-active rays are gathered to
+    the front (stable argsort keeps ray order deterministic)."""
+    R, L = state["t_min"].shape
+
+    def flat(a):
+        return a.reshape(-1) if a.ndim == 2 else a.reshape(a.shape[0], -1)
+
+    for k in _DECODE_STATE:
+        acc[k] = acc[k].at[perm].set(flat(state[k]))
+
+    # iteration-cap retirement is enforced by the driver's step budget;
+    # here "active" is simply not-done
+    active = flat(~state["done"])
+    order = jnp.argsort(jnp.where(active, i32(0), i32(1)), stable=True)
+    sel = order[: out_rows * LANES]
+
+    new_state = {}
+    for k, v in state.items():
+        fv = flat(v)
+        new_state[k] = (fv[sel].reshape(out_rows, LANES) if v.ndim == 2
+                        else fv[:, sel].reshape(v.shape[0], out_rows, LANES))
+    new_const = {k: flat(v)[sel].reshape(out_rows, LANES)
+                 for k, v in const.items()}
+    return new_state, new_const, perm[sel], acc
+
+
+def intersect_octree_staged(tree_arrays, origin, direction,
+                            max_depth=C.MAX_DEPTH, cone_trace=False,
+                            max_iterations=C.MAX_RAYCAST_ITERATIONS,
+                            active=None, stack_depth=C.MAX_DEPTH, packed=None,
+                            round_steps=128, min_rows=32):
+    """Host-driven traversal with ray compaction between rounds.
+
+    The lock-step batch kernel pays max(iters) x batch: every lane executes
+    until the *slowest* ray in the whole batch finishes (cap 1500,
+    svotrace.comp:41), so a handful of grazing rays can cost 10-20x the
+    median.  The reference never faces this — GL warps retire independently
+    (SURVEY.md §2.2 row 1).  TPU-native fix: run ``round_steps`` fused steps,
+    read back ONE scalar (active-ray count), and when the survivor count has
+    dropped below half the current batch, argsort-compact the survivors into
+    a power-of-two-row batch and continue.  Total work approaches
+    sum(per-ray iters) instead of batch * max(iters).
+
+    Not jittable (host loop); use from frame drivers (bench, viewer).
+    Compaction never changes a ray's own step sequence — it only regroups
+    which lanes step together — so results are independent of round_steps /
+    min_rows.  vs :func:`intersect_octree` the results agree to FP program
+    variance: the fully-jitted kernel fuses ray setup into one program whose
+    FMA contraction differs by ulps, which flips integer step counts on
+    grazing rays (hits/colors are robust; see tests for the contract).
+    """
+    if packed is None:
+        packed = make_packed_table(tree_arrays)
+
+    B = origin.shape[0]
+    cone = jnp.asarray(cone_trace, bool)
+    state, const = _setup_jit(origin, direction, max_depth, cone_trace,
+                              active, stack_depth, packed)
+    const_full = const  # full-size; compaction shrinks the working copy
+    R = state["t_min"].shape[0]
+
+    acc = {k: jnp.zeros(R * LANES, state[k].dtype) for k in _DECODE_STATE}
+    perm = jnp.arange(R * LANES, dtype=i32)
+    spent = 0
+    while spent < max_iterations:
+        steps = min(round_steps, max_iterations - spent)
+        steps = -(-steps // INNER_STEPS) * INNER_STEPS
+        state, n_active = _run_block(state, const, packed, cone, steps,
+                                     max_iterations, stack_depth)
+        spent += steps
+        n = int(n_active)  # scalar d2h
+        if n == 0:
+            break
+        rows_needed = max(min_rows, 1 << (-(-n // LANES) - 1).bit_length())
+        if rows_needed < state["t_min"].shape[0] and spent < max_iterations:
+            state, const, perm, acc = _compact(state, const, perm, acc,
+                                               out_rows=rows_needed)
+
+    for k in _DECODE_STATE:
+        acc[k] = acc[k].at[perm].set(state[k].reshape(-1))
+
+    # const fields are pure functions of (origin, direction) — the initial
+    # full-size setup already holds them at every ray's original slot
+    sf = {k: acc[k][:B] for k in _DECODE_STATE}
+    for k in _DECODE_CONST:
+        sf[k] = const_full[k].reshape(-1)[:B]
+    return _decode_jit(sf, tree_arrays, origin.astype(f32),
+                       direction.astype(f32))

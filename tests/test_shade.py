@@ -5,6 +5,7 @@ re-expressed shading math with property checks and small golden renders.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -174,3 +175,76 @@ def test_threefry_mode_runs(ball_scene):
                                    rng_mode="threefry",
                                    rng_key=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(col)).all()
+
+
+def _plain_frame(tree_arrays, cam5, W, H, mode):
+    """Reference frame from MATERIALIZED dirs + the plain while_loop kernel
+    — the inputs render_frame_staged sees, without the staged machinery."""
+    import functools
+
+    from svo_raytracer_tpu.ops import traverse
+
+    dirs_un = shade.pixel_dirs_device(cam5, W, H)
+    dirs = jax.block_until_ready(
+        dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True))
+    origins = jnp.broadcast_to(cam5[0], dirs.shape)
+    isect = functools.partial(traverse.intersect_octree, tree_arrays)
+    if mode == 0:
+        px = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+        py = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+        c, d, it = shade.shade_gi(tree_arrays, origins, dirs, px, py, 1, 1)
+    elif mode == 2:
+        c, d, it = shade.shade_direct(tree_arrays, origins, dirs)
+    elif mode == 3:
+        c, d, it = shade.shade_normals(tree_arrays, origins, dirs)
+    return (np.asarray(c).reshape(H, W, 3), np.asarray(d).reshape(H, W),
+            np.asarray(it).reshape(H, W))
+
+
+def test_render_frame_staged_matches_plain(terrain_tree):
+    """The host-driven staged frame path vs the plain kernel on the same
+    materialized inputs.  Setup/decode compile as different programs in the
+    two paths (FMA contraction drifts by ulps), so integer step counts can
+    flip on grazing pixels; colors/depths must still agree to float
+    tolerance and step counts to a small drift bound."""
+    dev = terrain_tree.to_device()
+    cam = Camera(pos=np.array([1.5, 1.7, 1.85]))
+    cam.rotate(-0.5, 0.25)
+    cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+    W, H = 48, 24
+    for mode in (2, 3):
+        ref = _plain_frame(dev.arrays(), cam5, W, H, mode)
+        got = shade.render_frame_staged(dev.arrays(), cam5, W, H,
+                                        render_mode=mode, use_beam=False,
+                                        row_block=8, round_steps=32)
+        for a, b, name in zip(ref, got, ("color", "depth")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                err_msg=f"mode={mode} {name}")
+        assert np.abs(np.asarray(got[2]).astype(np.int64)
+                      - np.asarray(ref[2])).max() <= 8, f"mode={mode} iters"
+
+
+def test_render_frame_staged_near_render_image(terrain_tree):
+    """Cross-check vs the fully-jitted render_image.  Only a statistical
+    bound holds: render_image fuses the dir-normalize into traversal setup
+    (FMA contraction) so its rays differ by ulps from any path that
+    materializes dirs — integer step counts and the binary GI sun-disk test
+    then flip on grazing pixels.  (Verified: plain intersect_octree on
+    materialized dirs shows the identical drift vs render_image.)"""
+    dev = terrain_tree.to_device()
+    cam = Camera(pos=np.array([1.5, 1.7, 1.85]))
+    cam.rotate(-0.5, 0.25)
+    cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+    W, H = 48, 24
+    for mode, beam, frac in ((2, True, 0.95), (2, False, 0.99),
+                             (3, False, 0.99), (0, False, 0.70)):
+        ref = shade.render_image(dev.arrays(), cam5, W, H, render_mode=mode,
+                                 use_beam=beam)
+        got = shade.render_frame_staged(dev.arrays(), cam5, W, H,
+                                        render_mode=mode, use_beam=beam,
+                                        row_block=8, round_steps=32)
+        close = np.isclose(np.asarray(got[0]), np.asarray(ref[0]),
+                           rtol=1e-3, atol=1e-3).all(axis=-1)
+        assert close.mean() >= frac, \
+            f"mode={mode} beam={beam} color: {close.mean():.3f}"

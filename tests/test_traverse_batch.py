@@ -136,3 +136,65 @@ def test_batch_shapes(sphere_tree):
     res = traverse.intersect_octree(dev.arrays(), o, d)
     assert res.hit.shape == (16,)
     assert res.normal.shape == (16, 3)
+
+
+def _staged_test_rays(n=700, seed=11):
+    rng = np.random.default_rng(seed)
+    o = np.concatenate([
+        np.array([1.5, 1.9, 1.9]) + rng.normal(0, 0.15, (n // 2, 3)),
+        rng.uniform(1.05, 1.95, (n // 2, 3))]).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_staged_compaction_invariant(terrain_tree):
+    """Compaction must never change a ray's result: staged with aggressive
+    compaction == staged with compaction disabled, bitwise, for every field
+    (both share the same setup/step/decode programs)."""
+    dev = terrain_tree.to_device()
+    o, d = _staged_test_rays()
+    a = traverse.intersect_octree_staged(dev.arrays(), o, d,
+                                         round_steps=32, min_rows=1)
+    b = traverse.intersect_octree_staged(dev.arrays(), o, d,
+                                         round_steps=512, min_rows=10 ** 6)
+    for f in a._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)), err_msg=f)
+
+
+def test_staged_matches_plain(terrain_tree):
+    """The host-driven compacting traversal vs the fully-jitted while_loop
+    kernel.  The two compile the ray SETUP in different programs (standalone
+    vs fused), whose FMA contraction differs by ulps — integer step counts
+    flip on grazing rays under that, so the contract is the oracle-style
+    statistical one: hits/materials exact, ≥95% of rays agree on every
+    field, floats close where they agree on the hit."""
+    dev = terrain_tree.to_device()
+    o, d = _staged_test_rays()
+
+    ref = traverse.intersect_octree(dev.arrays(), o, d)
+    got = traverse.intersect_octree_staged(dev.arrays(), o, d,
+                                           round_steps=32, min_rows=1)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.value),
+                                  np.asarray(ref.value))
+    for f in ("iters", "depth", "node", "scale_exp2", "normal"):
+        a, b = np.asarray(getattr(got, f)), np.asarray(getattr(ref, f))
+        agree = (a == b) if a.ndim == 1 else (a == b).all(axis=-1)
+        assert agree.mean() >= 0.95, f"{f}: {agree.mean():.3f}"
+    for f in ("t", "hit_pos", "voxel_pos"):
+        np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   rtol=1e-4, atol=1e-4, err_msg=f)
+
+
+def test_staged_respects_active_mask(terrain_tree):
+    dev = terrain_tree.to_device()
+    o = jnp.full((8, 3), 1.5, jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (8, 1))
+    act = jnp.asarray([True, False] * 4)
+    res = traverse.intersect_octree_staged(dev.arrays(), o, d, active=act,
+                                           round_steps=16, min_rows=1)
+    assert not np.asarray(res.hit)[1::2].any()
+    assert np.asarray(res.hit)[::2].all()

@@ -381,7 +381,10 @@ def render_frame_staged(tree_arrays, cam5, width, height, render_mode=2,
                         frame_number=1, gi_bounces=1, use_beam=True,
                         beam_tile=4, max_depth=C.MAX_DEPTH,
                         max_iterations=C.MAX_RAYCAST_ITERATIONS,
-                        packed=None, row_block=None, round_steps=64):
+                        packed=None, row_block=None, round_steps=64,
+                        inner_steps=traverse.INNER_STEPS, min_rows=32,
+                        grow_rounds=True, max_round_steps=512,
+                        pipeline=True):
     """Host-driven full-frame render using the compacting staged traversal
     (traverse.intersect_octree_staged) — the production frame path on TPU.
 
@@ -401,7 +404,11 @@ def render_frame_staged(tree_arrays, cam5, width, height, render_mode=2,
         packed = traverse.make_packed_table(tree_arrays)
     isect = functools.partial(traverse.intersect_octree_staged, tree_arrays,
                               packed=packed, round_steps=round_steps,
-                              max_iterations=max_iterations)
+                              max_iterations=max_iterations,
+                              inner_steps=inner_steps, min_rows=min_rows,
+                              grow_rounds=grow_rounds,
+                              max_round_steps=max_round_steps,
+                              pipeline=pipeline)
     if row_block is None:
         row_block = max(1, min(height, (1 << 18) // width))
     while height % row_block:

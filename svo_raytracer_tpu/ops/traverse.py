@@ -509,7 +509,9 @@ def intersect_octree_staged(tree_arrays, origin, direction,
                             max_depth=C.MAX_DEPTH, cone_trace=False,
                             max_iterations=C.MAX_RAYCAST_ITERATIONS,
                             active=None, stack_depth=C.MAX_DEPTH, packed=None,
-                            round_steps=128, min_rows=32):
+                            round_steps=128, min_rows=32,
+                            inner_steps=INNER_STEPS, grow_rounds=True,
+                            max_round_steps=512, pipeline=True):
     """Host-driven traversal with ray compaction between rounds.
 
     The lock-step batch kernel pays max(iters) x batch: every lane executes
@@ -525,10 +527,22 @@ def intersect_octree_staged(tree_arrays, origin, direction,
     Not jittable (host loop); use from frame drivers (bench, viewer).
     Compaction never changes a ray's own step sequence — it only regroups
     which lanes step together — so results are independent of round_steps /
-    min_rows.  vs :func:`intersect_octree` the results agree to FP program
-    variance: the fully-jitted kernel fuses ray setup into one program whose
-    FMA contraction differs by ulps, which flips integer step counts on
-    grazing rays (hits/colors are robust; see tests for the contract).
+    min_rows / grow_rounds / pipeline.  vs :func:`intersect_octree` the
+    results agree to FP program variance: the fully-jitted kernel fuses ray
+    setup into one program whose FMA contraction differs by ulps, which flips
+    integer step counts on grazing rays (hits/colors are robust; see tests
+    for the contract).
+
+    Tunnel-latency design (the axon TPU link has a high scalar-readback RTT):
+
+    * ``grow_rounds`` doubles the round length each round (capped at
+      ``max_round_steps``), so a full 1500-step traversal costs O(log)
+      syncs instead of 1500/round_steps.
+    * ``pipeline`` dispatches the NEXT block before reading the previous
+      block's active-count scalar, overlapping the host round-trip with
+      device compute.  The stale count is an upper bound on the current
+      survivor count (actives only retire), so sizing the compaction from
+      it can never drop a live ray.
     """
     if packed is None:
         packed = make_packed_table(tree_arrays)
@@ -542,16 +556,40 @@ def intersect_octree_staged(tree_arrays, origin, direction,
 
     acc = {k: jnp.zeros(R * LANES, state[k].dtype) for k in _DECODE_STATE}
     perm = jnp.arange(R * LANES, dtype=i32)
-    spent = 0
+
+    def block(s, steps):
+        steps = -(-steps // inner_steps) * inner_steps
+        s, n_active = _run_block(s, const, packed, cone, steps,
+                                 max_iterations, stack_depth,
+                                 inner_steps=inner_steps)
+        return s, n_active, steps
+
+    cur_steps = min(round_steps, max_iterations)
+    state, n_dev, took = block(state, cur_steps)
+    spent = took
     while spent < max_iterations:
-        steps = min(round_steps, max_iterations - spent)
-        steps = -(-steps // INNER_STEPS) * INNER_STEPS
-        state, n_active = _run_block(state, const, packed, cone, steps,
-                                     max_iterations, stack_depth)
-        spent += steps
-        n = int(n_active)  # scalar d2h
-        if n == 0:
-            break
+        if grow_rounds:
+            cur_steps = min(cur_steps * 2, max_round_steps)
+        # never truncate the last round: the per-ray iters < max_iterations
+        # mask inside _run_block enforces the exact cap, and reusing the same
+        # static `steps` avoids compiling a one-off odd-sized program
+        steps = cur_steps
+        if pipeline:
+            # dispatch the next block, THEN read the previous block's count:
+            # the d2h round-trip rides on top of the block's execution
+            state2, n2_dev, took = block(state, steps)
+            n = int(n_dev)  # stale by one block — upper bound on survivors
+            if n == 0:
+                state = state2  # the speculative block was a masked no-op
+                break
+            state, n_dev = state2, n2_dev
+            spent += took
+        else:
+            n = int(n_dev)
+            if n == 0:
+                break
+            state, n_dev, took = block(state, steps)
+            spent += took
         rows_needed = max(min_rows, 1 << (-(-n // LANES) - 1).bit_length())
         if rows_needed < state["t_min"].shape[0] and spent < max_iterations:
             state, const, perm, acc = _compact(state, const, perm, acc,

@@ -155,7 +155,7 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
 @functools.partial(jax.jit, static_argnames=("grid_size", "max_steps",
                                              "interpret"))
 def coarse_dda(occ_table, origins, dirs, grid_size, max_steps=None,
-               active=None, interpret=False):
+               active=None, interpret=None):
     """March rays through a G^3 occupancy grid held lane-replicated in VMEM.
 
     occ_table: (G*G*ceil(G/32), 128) int32 from replicate_lanes(pack_occupancy).
@@ -183,6 +183,9 @@ def coarse_dda(occ_table, origins, dirs, grid_size, max_steps=None,
         act = act.reshape(R, LANES)
     else:
         act = jnp.pad(active.astype(i32), (0, pad)).reshape(R, LANES)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

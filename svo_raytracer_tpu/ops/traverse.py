@@ -510,8 +510,8 @@ def intersect_octree_staged(tree_arrays, origin, direction,
                             max_iterations=C.MAX_RAYCAST_ITERATIONS,
                             active=None, stack_depth=C.MAX_DEPTH, packed=None,
                             round_steps=128, min_rows=32,
-                            inner_steps=INNER_STEPS, grow_rounds=True,
-                            max_round_steps=512, pipeline=True):
+                            inner_steps=INNER_STEPS, grow_rounds=False,
+                            max_round_steps=512, pipeline=False):
     """Host-driven traversal with ray compaction between rounds.
 
     The lock-step batch kernel pays max(iters) x batch: every lane executes

@@ -42,13 +42,13 @@ def main():
         print(json.dumps(kw), flush=True)
 
     tree, load_s = bench.build_scene(1024, 512)
-    G = 64
+    G = 32
     t0 = time.time()
     words = skip_grid.build_skip_grid(tree, grid_size=G)
     grid_build_s = time.time() - t0
     occ_frac = float((np.asarray(words).view(np.uint32) != 0).mean())
     tree = tree.to_device()
-    tab = brick_dda.replicate_lanes(words)
+    tab = brick_dda.table_rows(words)
     tab.block_until_ready()
     packed = tree.packed_table()
     packed.block_until_ready()

@@ -4,16 +4,25 @@ Why this exists: the ESVO stack traversal (ops/traverse.py) spends one
 random HBM gather per ray-step, and XLA:TPU gathers into a multi-MB table
 run at ~0.1 G elem/s (.bench_cache/tune_staged.jsonl) — the whole frame is
 gather-bound.  The escape hatch on this hardware is keeping the hot loop's
-working set in VMEM, where Mosaic's *batched* sublane gather
-``x[idx[i,j], j]`` is legal (CLAUDE.md: no arbitrary cross-lane gather).
+working set in VMEM.
 
-This module provides the two building blocks of the brick-wavefront
-traversal (the TPU-native re-expression of the reference's per-pixel
-octree walk, svotrace.comp:211-432):
+Mosaic gather constraint (measured on-chip, r1): ``take_along_axis`` lowers
+only when the index array's shape equals the table's shape — an (8,128)
+index into a (V,128) table is REJECTED (lowering.py asserts
+``indices.shape == table.shape + (1,)``).  The legal building block is the
+same-shape lane gather ``x[i, idx[i,j]]`` on one (8,128) vreg.  So the grid
+table is stored as (V/128, 128) word rows and fetched with a **composite
+fetch**: every row is sublane-broadcast once (loop-invariant), each step
+lane-gathers all rows at ``word & 127`` and selects by ``word >> 7``.
+Cost per step = rows lane-gathers + rows-1 selects, so keep V <= 1024
+(G <= 32: one word of 32 z-bits per (x,y) column -> 8 rows).
+
+This module provides the building blocks of the brick-wavefront traversal
+(the TPU-native re-expression of the reference's per-pixel octree walk,
+svotrace.comp:211-432):
 
 * :func:`pack_occupancy` — pack a G^3 voxel occupancy grid into z-packed
-  u32 words, replicated across 128 lanes so each ray lane can sublane-gather
-  its own word.  G <= 64 (G=64 -> (8192,128) i32 = 4 MB VMEM).
+  u32 words.
 * :func:`coarse_dda` — amanatides-woo 3-D DDA over that grid: each ray
   marches cell-by-cell entirely in registers/VMEM and reports the first
   solid cell and its entry distance.  Rays starting outside the grid are
@@ -55,17 +64,43 @@ def pack_occupancy(vox: np.ndarray) -> np.ndarray:
     return words.reshape(-1).view(np.int32)
 
 
-def replicate_lanes(words) -> jax.Array:
-    """(V,) words -> (V, 128) lane-replicated device table (VMEM layout)."""
+def table_rows(words) -> jax.Array:
+    """(V,) packed words -> (V/128, 128) row-major device table (the
+    composite-fetch VMEM layout; V is zero-padded to a multiple of 128)."""
     w = jnp.asarray(words, i32)
-    return jnp.broadcast_to(w[:, None], (w.shape[0], LANES))
+    V = w.shape[0]
+    pad = (-V) % LANES
+    if pad:
+        w = jnp.pad(w, (0, pad))
+    return w.reshape(-1, LANES)
+
+
+# kept for callers that built the old lane-replicated layout
+def replicate_lanes(words) -> jax.Array:
+    """Deprecated alias of :func:`table_rows` (layout changed after the
+    on-chip Mosaic gather constraint was discovered)."""
+    return table_rows(words)
 
 
 def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
                 dx_ref, dy_ref, dz_ref, act_ref,
                 hit_ref, t_ref, cx_ref, cy_ref, cz_ref, steps_ref):
     """One (8,128) ray tile against the full VMEM-resident grid."""
-    t8 = tab_ref[:]
+    n_rows = tab_ref.shape[0]
+    # loop-invariant: every table row broadcast across the 8 sublanes
+    rows = [jnp.broadcast_to(tab_ref[r:r + 1, :], (8, LANES))
+            for r in range(n_rows)]
+
+    def fetch(w):
+        lane = w & (LANES - 1)
+        r = w >> 7
+        cands = [jnp.take_along_axis(rows[k], lane, axis=1)
+                 for k in range(n_rows)]
+        out = cands[0]
+        for k in range(1, n_rows):
+            out = jnp.where(r == k, cands[k], out)
+        return out
+
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     eps = np.float32(1e-12)
@@ -119,7 +154,7 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
         czp = jnp.clip(iz, 0, G - 1)
         w = ((jnp.clip(ix, 0, G - 1) * G + jnp.clip(iy, 0, G - 1)) * W
              + (czp >> 5))
-        word = jnp.take_along_axis(t8, w, axis=0)
+        word = fetch(w)
         solid = ((word >> (czp & 31)) & 1) != 0
         new_hit = act & solid
         hit = hit | new_hit
@@ -156,12 +191,15 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
                                              "interpret"))
 def coarse_dda(occ_table, origins, dirs, grid_size, max_steps=None,
                active=None, interpret=None):
-    """March rays through a G^3 occupancy grid held lane-replicated in VMEM.
+    """March rays through a G^3 occupancy grid held in VMEM.
 
-    occ_table: (G*G*ceil(G/32), 128) int32 from replicate_lanes(pack_occupancy).
+    occ_table: (V/128, 128) int32 from table_rows(pack_occupancy(vox)).
     origins/dirs: (B, 3) float32 in GRID units ([0,G]^3 cube).
     Returns dict with (B,) fields: hit (bool), t (f32, grid units — entry
     distance of the hit cell), cell (B,3) i32, steps (i32).
+
+    G <= 32 keeps the composite fetch at 8 lane-gathers/step; G = 64 works
+    but costs 64 gathers/step.
     """
     G = grid_size
     W = -(-G // 32)

@@ -320,7 +320,7 @@ def render_image(tree_arrays, cam5, width, height, render_mode=2,
                  max_depth=C.MAX_DEPTH,
                  max_iterations=C.MAX_RAYCAST_ITERATIONS, rng_mode="glsl",
                  rng_key=None, mirror_values=(), packed=None,
-                 skip_tab=None, skip_grid_size=64):
+                 skip_tab=None, skip_grid_size=32):
     """Full-frame render — the per-frame GPU work of Main.updateEarly
     (Main.java:257-288) as one jitted function.
 
@@ -390,7 +390,7 @@ def render_frame_staged(tree_arrays, cam5, width, height, render_mode=2,
                         packed=None, row_block=None, round_steps=64,
                         inner_steps=traverse.INNER_STEPS, min_rows=32,
                         grow_rounds=False, max_round_steps=512,
-                        pipeline=False, skip_tab=None, skip_grid_size=64):
+                        pipeline=False, skip_tab=None, skip_grid_size=32):
     """Host-driven full-frame render using the compacting staged traversal
     (traverse.intersect_octree_staged) — the production frame path on TPU.
 

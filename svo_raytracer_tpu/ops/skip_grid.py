@@ -3,8 +3,7 @@
 The reference shortens fine rays with a 1-per-4x4-tile coarse beam prepass
 (svobeam.comp:618-636) that itself walks the octree.  On TPU the octree
 walk is HBM-gather-bound, so the skip must not touch the node table at all:
-instead a G^3 occupancy grid (G <= 64, one bit per cell) lives lane-
-replicated in VMEM and every ray DDA-marches it (ops/brick_dda.py) to find
+instead a G^3 occupancy grid (G <= 32, one bit per cell) lives in VMEM and every ray DDA-marches it (ops/brick_dda.py) to find
 a conservative entry distance to the first potentially-solid cell.  Rays
 whose march exits the grid without meeting an occupied cell are definite
 misses and skip the ESVO traversal entirely (sky/bounce-to-sky rays become
@@ -32,7 +31,7 @@ from . import brick_dda
 _EPS_WORLD = 1e-4
 
 
-def build_skip_grid(tree, grid_size: int = 64) -> np.ndarray:
+def build_skip_grid(tree, grid_size: int = 32) -> np.ndarray:
     """Occupancy of a G^3 cell grid from the SoA node table (host NumPy).
 
     A cell is occupied iff its world cube contains any non-air leaf.  The
@@ -40,7 +39,7 @@ def build_skip_grid(tree, grid_size: int = 64) -> np.ndarray:
     a solid leaf marks its whole span, and any *branch* surviving at cell
     size must contain solid somewhere (homogeneous regions are collapsed to
     leaves by every builder — build_np.py / build_jax.py), so it marks its
-    cell.  Returns packed words for :func:`brick_dda.replicate_lanes`.
+    cell.  Returns packed words for :func:`brick_dda.table_rows`.
     """
     child = np.asarray(tree.child[:tree.n_nodes])
     mask = np.asarray(tree.mask[:tree.n_nodes])
@@ -94,7 +93,7 @@ def _auto_interpret(interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "interpret"))
-def skip_distances(occ_table, origins, dirs, grid_size=64, active=None,
+def skip_distances(occ_table, origins, dirs, grid_size=32, active=None,
                    interpret=None):
     """(skip_t, maybe_hit): world-unit skip distance along ``dirs`` and a
     conservative may-hit mask for a ray batch in world coordinates."""
@@ -107,7 +106,7 @@ def skip_distances(occ_table, origins, dirs, grid_size=64, active=None,
     return jnp.where(out["hit"], skip, 0.0), out["hit"]
 
 
-def make_skipping_isect(isect, occ_table, grid_size=64, interpret=None):
+def make_skipping_isect(isect, occ_table, grid_size=32, interpret=None):
     """Wrap a traversal function with the DDA empty-space skip.
 
     ``isect(origins, dirs, ..., active=...)`` -> HitResult.  The wrapper

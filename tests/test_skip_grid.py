@@ -50,7 +50,7 @@ def test_skip_preserves_hits(scene):
     vox, tree = scene
     dev = tree.to_device()
     G = 16
-    tab = brick_dda.replicate_lanes(skip_grid.build_skip_grid(tree, G))
+    tab = brick_dda.table_rows(skip_grid.build_skip_grid(tree, G))
     o, d = _rays(512)
 
     base = traverse.intersect_octree(dev.arrays(), jnp.asarray(o),
@@ -79,7 +79,7 @@ def test_skip_preserves_hits(scene):
 def test_definite_misses_marked_inactive(scene):
     vox, tree = scene
     G = 16
-    tab = brick_dda.replicate_lanes(skip_grid.build_skip_grid(tree, G))
+    tab = brick_dda.table_rows(skip_grid.build_skip_grid(tree, G))
     # rays pointing straight up from above the world cube: guaranteed miss
     B = 64
     o = np.tile(np.array([[1.5, 2.5, 1.5]], np.float32), (B, 1))

@@ -46,7 +46,7 @@ def main():
         traceback.print_exc()
 
     # T1: the real coarse_dda, small batch, full traceback
-    G = 64
+    G = 32
     vox = rng.random((G, G, G)) < 0.05
     tab2 = brick_dda.replicate_lanes(brick_dda.pack_occupancy(vox))
     B = 1024

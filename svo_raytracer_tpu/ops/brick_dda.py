@@ -146,18 +146,24 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
     alive0 = (act_ref[:] != 0) & ~misses_box
     t_init = jnp.where(alive0, base_t, 0.0)
 
+    # NOTE: loop carries must be i32/f32 vectors — Mosaic fails to
+    # legalize scf.for with vector<8x128xi1> block arguments (measured
+    # on-chip: "failed to legalize operation 'scf.for'"), so the hit and
+    # alive masks ride as int32 0/1.
+    alive0_i = alive0.astype(i32)
+
     def body(_, c):
-        ix, iy, iz, tx, ty, tz, hit, t, alive, steps = c
+        ix, iy, iz, tx, ty, tz, hit_i, t, steps = c
         inside = ((ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
                   & (iz >= 0) & (iz < G))
-        act = alive & inside & ~hit
+        act = (alive0_i != 0) & inside & (hit_i == 0)
         czp = jnp.clip(iz, 0, G - 1)
         w = ((jnp.clip(ix, 0, G - 1) * G + jnp.clip(iy, 0, G - 1)) * W
              + (czp >> 5))
         word = fetch(w)
         solid = ((word >> (czp & 31)) & 1) != 0
         new_hit = act & solid
-        hit = hit | new_hit
+        hit_i = hit_i | new_hit.astype(i32)
         act = act & ~new_hit
         steps = steps + act.astype(i32)
         mx = (tx <= ty) & (tx <= tz)
@@ -171,13 +177,13 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
         tx = jnp.where(act & mx, tx + adx, tx)
         ty = jnp.where(act & my, ty + ady, ty)
         tz = jnp.where(act & mz, tz + adz, tz)
-        return (ix, iy, iz, tx, ty, tz, hit, t, alive, steps)
+        return (ix, iy, iz, tx, ty, tz, hit_i, t, steps)
 
-    c = (ix, iy, iz, tx, ty, tz, jnp.zeros(ox.shape, jnp.bool_), t_init,
-         alive0, jnp.zeros(ox.shape, i32))
+    c = (ix, iy, iz, tx, ty, tz, jnp.zeros(ox.shape, i32), t_init,
+         jnp.zeros(ox.shape, i32))
     c = jax.lax.fori_loop(0, max_steps, body, c)
-    ix, iy, iz, tx, ty, tz, hit, t, alive, steps = c
-    hit_ref[:] = hit.astype(i32)
+    ix, iy, iz, tx, ty, tz, hit_i, t, steps = c
+    hit_ref[:] = hit_i
     # a hit ray's t is the ENTRY distance of the solid cell: the last
     # crossing before the hit, tracked in t (base_t if hit in entry cell)
     t_ref[:] = t

@@ -43,10 +43,11 @@ def build_scene(world_size: int, chunk_size: int):
     if os.path.exists(cache):
         t0 = time.time()
         z = np.load(cache)
-        tree = Octree(child=z["child"], mask=z["mask"], value=z["value"],
-                      normal=z["normal"], n_nodes=int(z["n_nodes"]),
-                      world_size=world_size)
-        return tree, time.time() - t0
+        if "child" in z:  # a keyless file is a build-in-progress placeholder
+            tree = Octree(child=z["child"], mask=z["mask"], value=z["value"],
+                          normal=z["normal"], n_nodes=int(z["n_nodes"]),
+                          world_size=world_size)
+            return tree, time.time() - t0
 
     # terrain band centered at y=0 like the reference's rootPos (0,-1024,0)
     def gen(origin):
@@ -61,10 +62,12 @@ def build_scene(world_size: int, chunk_size: int):
     build_s = time.time() - t0
     tree = tree.to_numpy()
     os.makedirs(CACHE_DIR, exist_ok=True)
-    np.savez(cache, child=tree.child[:tree.n_nodes],
+    tmp = cache + f".tmp{os.getpid()}"
+    np.savez(tmp, child=tree.child[:tree.n_nodes],
              mask=tree.mask[:tree.n_nodes], value=tree.value[:tree.n_nodes],
              normal=tree.normal[:tree.n_nodes],
              n_nodes=np.asarray(tree.n_nodes))
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", cache)
     return tree, build_s
 
 

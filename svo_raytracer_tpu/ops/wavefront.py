@@ -1,0 +1,559 @@
+"""Brick-wavefront traversal v2 — the production Pallas TPU path.
+
+Re-expresses the reference's per-pixel octree walk
+(/root/reference/src/shaders/svotrace.comp:211-432) as a sorted
+brick-wavefront over the BrickScene decomposition (ops/brick_scene.py),
+with the same hit semantics as the XLA reference ops/brick_trace.py.
+
+Why v1 (ops/brick_pallas.py) was slow (measured round 1/2,
+.tpu_jobs/040_profile.out): its round loop re-binned all rays every
+round with argsort + ~10 full-size random gathers + scatters + 5
+unscatters, at XLA's ~0.1 G elem/s random-access rate — ~400 ms of glue
+per round against a ~20 ms kernel.  v2's glue per round is ONE
+multi-operand ``lax.sort`` (the payloads ride the sort; no gathers), and
+the ray state *stays in sorted order* across rounds:
+
+  * done rays sort to the tail; compaction is a prefix slice (free),
+    taken whenever the active count drops below half the current size;
+  * a ray tile (8,128) may span up to KMAX distinct bricks; the kernel
+    receives all KMAX occupancy blocks (4 KB each, pipelined HBM->VMEM
+    by the BlockSpec index maps from scalar-prefetched slot ids) and
+    *select-merges* them once into per-lane personalized table rows, so
+    the in-brick DDA costs the same as a single-brick tile;
+  * the L0 brick-grid march to the next occupied brick runs in the same
+    kernel against resident (8,128) bit tables, including the
+    mixed-vs-uniform classification (v1 paid two ~20 ms XLA gathers per
+    round for that); uniform-solid bricks resolve to hits in-kernel;
+  * per-voxel hit attributes resolve in ONE post-pass XLA gather per
+    segment (hits only), not per round;
+  * both DDA phases are early-exit ``lax.while_loop``s, so the kernel
+    cost tracks actual occupancy instead of fixed step budgets.
+
+Scene-side it needs only the BrickScene plus two derived bit tables
+(:func:`prepare`).  Oracle: ops/brick_trace.intersect_bricks (tested in
+tests/test_wavefront.py); semantics notes there apply unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import brick_dda, brick_trace
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+LANES = 128
+TILE = 8 * LANES            # rays per grid step
+KMAX = 4                    # distinct bricks a ray tile may span per round
+KEY_DONE = np.int32(1 << 30)
+KEY_INIT = np.int32(-2)     # ray not yet L0-marched (round 0 / stuck)
+_EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
+
+
+# --------------------------------------------------------------------- scene
+@dataclasses.dataclass
+class WaveScene:
+    """Device-ready wavefront view of a BrickScene."""
+
+    world_size: int
+    grid_size: int
+    n_mixed: int
+    l0_occ: Any      # (rows,128) i32 — occupied-brick bits (occ|uniform)
+    l0_mixed: Any    # (rows,128) i32 — mixed-brick bits (slot >= 0)
+    brick_slot: Any  # (G^3,) i32
+    occ_words: Any   # (n_mixed, 8, 128) i32
+    attr_comb: Any   # (n_mixed*32768 + G^3,) i32 — mixed attrs ++ uniform
+
+
+def prepare(scene) -> WaveScene:
+    """Derive the wavefront tables from a BrickScene (one-time, host)."""
+    if scene.grid_size > 32:
+        raise ValueError("wavefront L0 grid is limited to 32^3 "
+                         f"(world <= 1024^3); got G={scene.grid_size}")
+    G = scene.grid_size
+    slot = np.asarray(scene.brick_slot)
+    mixed = (slot >= 0).reshape(G, G, G)
+    l0_mixed = np.asarray(brick_dda.table_rows(
+        brick_dda.pack_occupancy(mixed)))
+    attrs = np.asarray(scene.attrs).reshape(-1).astype(np.int32)
+    attr_comb = np.concatenate([attrs,
+                                np.asarray(scene.brick_attr, np.int32)])
+    return WaveScene(
+        world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
+        l0_occ=jnp.asarray(scene.l0_table, i32),
+        l0_mixed=jnp.asarray(l0_mixed, i32),
+        brick_slot=jnp.asarray(slot, i32),
+        occ_words=jnp.asarray(scene.occ_words, i32),
+        attr_comb=jnp.asarray(attr_comb, i32),
+    )
+
+
+# -------------------------------------------------------------------- kernel
+def _fetch(rows, w):
+    """Composite fetch: word ``w`` (8,128 i32) from VMEM table rows (each
+    (8,128)); the only random-access form Mosaic lowers (brick_dda.py)."""
+    lane = w & (LANES - 1)
+    r = w >> 7
+    out = jnp.take_along_axis(rows[0], lane, axis=1)
+    for k in range(1, len(rows)):
+        out = jnp.where(r == k, jnp.take_along_axis(rows[k], lane, axis=1),
+                        out)
+    return out
+
+
+def _dda(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell, probe,
+         max_steps, act0, early_exit):
+    """Masked early-exit DDA over an n^3 grid of ``cell``-edge cells in
+    [0, n*cell]^3.  Mirrors brick_trace._march; all args (8,128); act0
+    i32.  Returns (hit_i, ix, iy, iz, t, inside_i, steps)."""
+    gf = f32(n * cell)
+    t1x, t2x = (0.0 - px) * inv_x, (gf - px) * inv_x
+    t1y, t2y = (0.0 - py) * inv_y, (gf - py) * inv_y
+    t1z, t2z = (0.0 - pz) * inv_z, (gf - pz) * inv_z
+    t_ent = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z))
+    t_out = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z))
+    t0 = jnp.maximum(t_ent, 0.0)
+    misses_box = (t_ent > t_out) | (t_out < 0.0)
+    push = jnp.where(t0 > 0.0, t0 + f32(1e-4) * cell, f32(0.0))
+    qx = px + push * dxc
+    qy = py + push * dyc
+    qz = pz + push * dzc
+
+    ix = jnp.clip((qx / cell).astype(i32), 0, n - 1)
+    iy = jnp.clip((qy / cell).astype(i32), 0, n - 1)
+    iz = jnp.clip((qz / cell).astype(i32), 0, n - 1)
+    sx = jnp.where(dxc > 0, i32(1), i32(-1))
+    sy = jnp.where(dyc > 0, i32(1), i32(-1))
+    sz = jnp.where(dzc > 0, i32(1), i32(-1))
+    nx = jnp.where(dxc > 0, ix + 1, ix).astype(f32) * cell
+    ny = jnp.where(dyc > 0, iy + 1, iy).astype(f32) * cell
+    nz = jnp.where(dzc > 0, iz + 1, iz).astype(f32) * cell
+    tx = push + (nx - qx) * inv_x
+    ty = push + (ny - qy) * inv_y
+    tz = push + (nz - qz) * inv_z
+    adx = jnp.abs(inv_x) * cell
+    ady = jnp.abs(inv_y) * cell
+    adz = jnp.abs(inv_z) * cell
+
+    alive0 = (act0 != 0) & ~misses_box
+    alive0_i = alive0.astype(i32)
+    t_init = jnp.where(alive0, push, 0.0)
+
+    # Loop carries are i32/f32 vectors only — Mosaic cannot legalize
+    # vector<i1> block arguments (measured r1; see ops/brick_dda.py).
+    def live(c):
+        ix, iy, iz = c[0], c[1], c[2]
+        hit_i = c[6]
+        inside = ((ix >= 0) & (ix < n) & (iy >= 0) & (iy < n)
+                  & (iz >= 0) & (iz < n))
+        return (alive0_i != 0) & inside & (hit_i == 0)
+
+    def body(c):
+        ix, iy, iz, tx, ty, tz, hit_i, t, steps, k = c
+        act = live(c)
+        cx = jnp.clip(ix, 0, n - 1)
+        cy = jnp.clip(iy, 0, n - 1)
+        cz = jnp.clip(iz, 0, n - 1)
+        solid = probe(cx, cy, cz)
+        new_hit = act & solid
+        hit_i = hit_i | new_hit.astype(i32)
+        act = act & ~new_hit
+        steps = steps + act.astype(i32)
+        mx = (tx <= ty) & (tx <= tz)
+        my = ~mx & (ty <= tz)
+        mz = ~mx & ~my
+        tcur = jnp.minimum(jnp.minimum(tx, ty), tz)
+        t = jnp.where(act, tcur, t)
+        ix = jnp.where(act & mx, ix + sx, ix)
+        iy = jnp.where(act & my, iy + sy, iy)
+        iz = jnp.where(act & mz, iz + sz, iz)
+        tx = jnp.where(act & mx, tx + adx, tx)
+        ty = jnp.where(act & my, ty + ady, ty)
+        tz = jnp.where(act & mz, tz + adz, tz)
+        return (ix, iy, iz, tx, ty, tz, hit_i, t, steps, k + 1)
+
+    zi = jnp.zeros(px.shape, i32)
+    c0 = (ix, iy, iz, tx, ty, tz, zi, t_init, zi, jnp.asarray(0, i32))
+    if early_exit:
+        c = jax.lax.while_loop(
+            lambda c: (c[9] < max_steps) & jnp.any(live(c)), body, c0)
+    else:
+        c = jax.lax.fori_loop(0, max_steps, lambda _, c: body(c), c0)
+    ix, iy, iz, tx, ty, tz, hit_i, t, steps, _ = c
+    inside_i = (((ix >= 0) & (ix < n) & (iy >= 0) & (iy < n)
+                 & (iz >= 0) & (iz < n)) & ~misses_box).astype(i32)
+    return hit_i, ix, iy, iz, t, inside_i, steps
+
+
+def _bcast_rows(block, n):
+    return [jnp.broadcast_to(block[r:r + 1, :], (8, LANES))
+            for r in range(n)]
+
+
+def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
+               tslot_ref, tcell_ref, l0_ref, mx_ref, *refs):
+    """One wavefront round for one (8,128) ray tile (module docstring).
+
+    refs = occ_0..occ_{KMAX-1}, key, ox, oy, oz, dx, dy, dz, t, vox,
+    aidx, it  ||  keyo, to, voxo, aidxo, ito.
+    """
+    import jax.experimental.pallas as pl  # local: keeps CPU-importable
+
+    occ_refs = refs[:KMAX]
+    (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
+     vox_ref, aidx_ref, it_ref) = refs[KMAX:KMAX + 11]
+    keyo_ref, to_ref, voxo_ref, aidxo_ref, ito_ref = refs[KMAX + 11:]
+
+    k = pl.program_id(0)
+    key = key_ref[:]
+    t_in = t_ref[:]
+    # defaults: pass-through (inactive / punted lanes keep their state)
+    keyo_ref[:] = key
+    to_ref[:] = t_in
+    voxo_ref[:] = vox_ref[:]
+    aidxo_ref[:] = aidx_ref[:]
+    ito_ref[:] = it_ref[:]
+
+    cells = [tcell_ref[k, j] for j in range(KMAX)]
+    slots = [tslot_ref[k, j] for j in range(KMAX)]
+    m_brick = (key == cells[0])
+    slot_v = jnp.full(key.shape, slots[0], i32)
+    for j in range(1, KMAX):
+        mj = key == cells[j]
+        m_brick = m_brick | mj
+        slot_v = jnp.where(mj, slots[j], slot_v)
+    m_init = key == KEY_INIT
+
+    @pl.when(jnp.any(m_brick | m_init))
+    def _tile():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        eps = np.float32(1e-12)
+        dxc = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
+        dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
+        dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)
+        inv_x, inv_y, inv_z = 1.0 / dxc, 1.0 / dyc, 1.0 / dzc
+
+        # ---- phase 1: voxel DDA inside each lane's own brick ------------
+        # The composite fetch reads ARBITRARY lanes of its table rows, so
+        # a per-lane personalized table cannot work (a lane would read
+        # another ray's brick bits — found the hard way).  Instead the
+        # KMAX bricks run sequentially, each with its own clean table;
+        # the early-exit while loops make absent/finished bricks free.
+        kc = jnp.clip(key, 0, G * G * G - 1)
+        bx = (kc // (G * G)).astype(f32) * 32.0
+        by = ((kc // G) % G).astype(f32) * 32.0
+        bz = (kc % G).astype(f32) * 32.0
+        px = ox + t_in * dxc
+        py = oy + t_in * dyc
+        pz = oz + t_in * dzc
+        lx, ly, lz = px - bx, py - by, pz - bz
+
+        zi = jnp.zeros(key.shape, i32)
+        zf = jnp.zeros(key.shape, f32)
+        hit1 = zi
+        fx, fy, fz = zi, zi, zi
+        t1 = zf
+        st1 = zi
+        for j in range(KMAX):
+            mj = key == cells[j]
+            occ_rows = _bcast_rows(occ_refs[j][0], 8)
+
+            def occ_probe(cx, cy, cz, occ_rows=occ_rows):
+                word = _fetch(occ_rows, cx * 32 + cy)
+                return ((word >> cz) & 1) != 0
+
+            h, x, y, z, tt, _ins, st = _dda(
+                lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                32, f32(1.0), occ_probe, inner_cap, mj.astype(i32),
+                early_exit)
+            hit1 = jnp.where(mj, h, hit1)
+            fx = jnp.where(mj, x, fx)
+            fy = jnp.where(mj, y, fy)
+            fz = jnp.where(mj, z, fz)
+            t1 = jnp.where(mj, tt, t1)
+            st1 = st1 + jnp.where(mj, st, 0)
+        hit1b = (hit1 != 0) & m_brick
+
+        # ---- phase 2: L0 march to the next occupied brick ----------------
+        t2_0 = jnp.where(m_init, t_in, t_in + t1 + _EXIT_EPS)
+        p2x = ox + t2_0 * dxc
+        p2y = oy + t2_0 * dyc
+        p2z = oz + t2_0 * dzc
+        act2 = (m_brick & ~hit1b) | m_init
+        l0_rows = _bcast_rows(l0_ref, l0_ref.shape[0])
+        mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
+
+        def l0_probe(cx, cy, cz):
+            word = _fetch(l0_rows, cx * G + cy)
+            return ((word >> cz) & 1) != 0
+
+        hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda(
+            p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+            G, f32(32.0), l0_probe, l0_cap, act2.astype(i32), early_exit)
+        hit2b = hit2 != 0
+        ins2b = ins2 != 0
+        mxw = _fetch(mx_rows, jnp.clip(b2x, 0, G - 1) * G
+                     + jnp.clip(b2y, 0, G - 1))
+        is_mixed = ((mxw >> jnp.clip(b2z, 0, G - 1)) & 1) != 0
+        cell2 = (b2x * G + b2y) * G + b2z
+
+        # uniform-solid brick: hit at entry face; voxel from entry point
+        t_uni = t2_0 + t2
+        ux = jnp.clip((p2x + t2 * dxc).astype(i32), b2x * 32, b2x * 32 + 31)
+        uy = jnp.clip((p2y + t2 * dyc).astype(i32), b2y * 32, b2y * 32 + 31)
+        uz = jnp.clip((p2z + t2 * dzc).astype(i32), b2z * 32, b2z * 32 + 31)
+
+        ws = G * 32
+        proc = m_brick | m_init
+        u_hit = act2 & hit2b & ~is_mixed
+        m_stop = act2 & hit2b & is_mixed
+        stuck = act2 & ~hit2b & ins2b     # budget spent inside the grid
+        missed = act2 & ~hit2b & ~ins2b
+
+        # mixed-brick voxel hit (phase 1)
+        gvx = (kc // (G * G)) * 32 + fx
+        gvy = ((kc // G) % G) * 32 + fy
+        gvz = (kc % G) * 32 + fz
+        widx = (fx * 32 + fy) * 32 + fz
+
+        new_key = jnp.where(hit1b | u_hit | missed, KEY_DONE,
+                            jnp.where(m_stop, cell2,
+                                      jnp.where(stuck, KEY_INIT, key)))
+        new_t = jnp.where(hit1b, t_in + t1,
+                          jnp.where(u_hit, t_uni,
+                                    jnp.where(m_stop, t2_0 + t2,
+                                              jnp.where(stuck,
+                                                        t2_0 + t2 + _EXIT_EPS,
+                                                        jnp.where(missed,
+                                                                  f32(0.0),
+                                                                  t_in)))))
+        new_vox = jnp.where(hit1b, (gvx * ws + gvy) * ws + gvz,
+                            jnp.where(u_hit, (ux * ws + uy) * ws + uz,
+                                      jnp.where(missed, i32(-1),
+                                                vox_ref[:])))
+        new_aidx = jnp.where(hit1b, slot_v * 32768 + widx,
+                             jnp.where(u_hit, i32(NM) * 32768 + cell2,
+                                       aidx_ref[:]))
+
+        keyo_ref[:] = jnp.where(proc, new_key, key)
+        to_ref[:] = jnp.where(proc, new_t, t_in)
+        voxo_ref[:] = jnp.where(proc, new_vox, vox_ref[:])
+        aidxo_ref[:] = jnp.where(proc, new_aidx, aidx_ref[:])
+        ito_ref[:] = it_ref[:] + jnp.where(proc, st1 + st2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "NM", "inner_cap", "l0_cap", "early_exit", "interpret"))
+def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
+                state, G, NM, inner_cap, l0_cap, early_exit, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = tile_slot.shape[0]
+    key = state[0]
+    B = key.shape[0]
+    kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
+                             early_exit)
+    ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c: (k, 0),
+                            memory_space=pltpu.VMEM)
+
+    def occ_spec(j):
+        return pl.BlockSpec(
+            (1, 8, LANES),
+            lambda k, s, c, j=j: (jnp.maximum(s[k, j], 0), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # l0_occ
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_mixed
+        + [occ_spec(j) for j in range(KMAX)]
+        + [ray_spec] * 11,
+        out_specs=tuple([ray_spec] * 5),
+    )
+
+    def rs(a):
+        return a.reshape(B // LANES, LANES)
+
+    outs = pl.pallas_call(
+        kern, grid_spec=grid_spec, interpret=interpret,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B // LANES, LANES), dt)
+            for dt in (i32, f32, i32, i32, i32)),
+    )(tile_slot, tile_cell, l0_occ, l0_mixed,
+      *([occ_words] * KMAX),
+      *[rs(a) for a in state[:11]])
+    key2, t2, vox2, aidx2, it2 = (a.reshape(-1) for a in outs)
+    # state layout: key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid
+    return (key2, state[1], state[2], state[3], state[4], state[5],
+            state[6], t2, vox2, aidx2, it2, state[11])
+
+
+# -------------------------------------------------------------------- driver
+@functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+def _sort_stage(state, brick_slot, ovox, oaidx, ot, oit):
+    """Harvest-scatter current results, sort by key, build tile tables,
+    count actives.  Runs once per round at the current (static) size."""
+    (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
+    ovox = ovox.at[rid].set(vox, mode="drop")
+    oaidx = oaidx.at[rid].set(aidx, mode="drop")
+    ot = ot.at[rid].set(t, mode="drop")
+    oit = oit.at[rid].set(it, mode="drop")
+
+    srt = jax.lax.sort((key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid),
+                       num_keys=1)
+    key_s = srt[0]
+    T = key_s.shape[0] // TILE
+    kt = key_s.reshape(T, TILE)
+    valid = (kt >= 0) & (kt < KEY_DONE)
+    ch = jnp.concatenate(
+        [jnp.ones((T, 1), bool), kt[:, 1:] != kt[:, :-1]], axis=1)
+    rank = jnp.cumsum((ch & valid).astype(i32), axis=1) - 1
+    cells = [jnp.max(jnp.where(valid & (rank == r), kt, -1), axis=1)
+             for r in range(KMAX)]
+    tile_cell = jnp.stack(cells, axis=1)
+    tile_slot = jnp.where(tile_cell >= 0,
+                          brick_slot[jnp.maximum(tile_cell, 0)], -1)
+    n_act = jnp.sum(key_s != KEY_DONE)
+    return srt, tile_slot, tile_cell, n_act, (ovox, oaidx, ot, oit)
+
+
+@jax.jit
+def _slice_half(state, tile_slot, tile_cell):
+    """Prefix-slice the sorted state to ceil(T/2) tiles (compaction —
+    done rays occupy the tail after the sort)."""
+    T = tile_slot.shape[0]
+    T2 = (T + 1) // 2
+    return (tuple(a[:T2 * TILE] for a in state), tile_slot[:T2],
+            tile_cell[:T2])
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+def _final_scatter(state, ovox, oaidx, ot, oit):
+    (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
+    ovox = ovox.at[rid].set(vox, mode="drop")
+    oaidx = oaidx.at[rid].set(aidx, mode="drop")
+    ot = ot.at[rid].set(t, mode="drop")
+    oit = oit.at[rid].set(it, mode="drop")
+    return ovox, oaidx, ot, oit
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "B"))
+def _init_state(origins, dirs, active, ws, B):
+    o = origins.astype(f32)
+    d = dirs.astype(f32)
+    ov = (o - 1.0) * f32(ws)
+    finite = jnp.all(jnp.isfinite(o) & jnp.isfinite(d), axis=1)
+    alive0 = active & finite
+    S = -(-B // TILE) * TILE
+
+    def pad(a, fill):
+        return jnp.pad(a, (0, S - B), constant_values=fill)
+
+    key = pad(jnp.where(alive0, KEY_INIT, KEY_DONE), KEY_DONE)
+    ox = pad(ov[:, 0], 0)
+    oy = pad(ov[:, 1], 0)
+    oz = pad(ov[:, 2], 0)
+    dx = pad(d[:, 0], 1)
+    dy = pad(d[:, 1], 1)
+    dz = pad(d[:, 2], 1)
+    t = jnp.zeros(S, f32)
+    vox = pad(jnp.where(alive0, -2, -1), -1)
+    aidx = jnp.zeros(S, i32)
+    it = jnp.zeros(S, i32)
+    rid = pad(jnp.arange(B, dtype=i32), B)
+    return (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid)
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "B"))
+def _finish(ovox, oaidx, ot, oit, attr_comb, origins, dirs, ws, B):
+    vox = ovox[:B]
+    hit = vox >= 0
+    attr = jnp.where(hit, attr_comb[jnp.maximum(oaidx[:B], 0)], 0)
+    vx = vox // (ws * ws)
+    vy = (vox // ws) % ws
+    vz = vox % ws
+    return brick_trace.decode_hits(ws, origins.astype(f32), dirs.astype(f32),
+                                   hit, attr, vx, vy, vz, ot[:B], oit[:B])
+
+
+def intersect_wavefront(wscene, origins, dirs, max_depth=None,
+                        cone_trace=False, max_iterations=None, active=None,
+                        max_rounds=24, interpret=None, early_exit=True,
+                        min_tiles=2, profile=None):
+    """Trace (B,3) rays against a WaveScene; returns a HitResult.
+
+    Signature-compatible with brick_trace.intersect_bricks
+    (``max_depth``/``cone_trace``/``max_iterations`` accepted for driver
+    compatibility; this path always resolves to the finest leaf).  The
+    round loop runs on the host with one scalar sync per round (sync RTT
+    is ~ms; compaction needs the count — see PERF_NOTES.md).  ``profile``
+    (optional dict) collects per-round active counts.
+    """
+    B = origins.shape[0]
+    G = wscene.grid_size
+    NM = wscene.n_mixed
+    ws = wscene.world_size
+    if active is None:
+        active = jnp.ones(B, bool)
+    else:
+        active = active.astype(bool)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    inner_cap = 100
+    l0_cap = 3 * G + 4
+
+    state = _init_state(origins, dirs, active, ws, B)
+    S = state[0].shape[0]
+    ovox = jnp.full((B + 1,), -1, i32)
+    oaidx = jnp.zeros((B + 1,), i32)
+    ot = jnp.zeros((B + 1,), f32)
+    oit = jnp.zeros((B + 1,), i32)
+
+    # round 0: all rays are KEY_INIT -> pure L0 march, no binning needed
+    none_slot = jnp.full((S // TILE, KMAX), -1, i32)
+    state = _run_kernel(none_slot, none_slot, wscene.l0_occ,
+                        wscene.l0_mixed, wscene.occ_words, state, G=G,
+                        NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
+                        early_exit=early_exit, interpret=interpret)
+    if profile is not None:
+        profile.setdefault("rounds", []).append(
+            dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
+
+    for r in range(1, max_rounds + 1):
+        state, tile_slot, tile_cell, n_act, bufs = _sort_stage(
+            state, wscene.brick_slot, ovox, oaidx, ot, oit)
+        ovox, oaidx, ot, oit = bufs
+        n = int(n_act)   # host sync — drives compaction
+        if profile is not None:
+            profile["rounds"].append(dict(r=r, size=state[0].shape[0],
+                                          active=n))
+        if n == 0:
+            state = None
+            break
+        while (tile_slot.shape[0] + 1) // 2 >= max(
+                -(-n // TILE), min_tiles) and tile_slot.shape[0] > min_tiles:
+            state, tile_slot, tile_cell = _slice_half(state, tile_slot,
+                                                      tile_cell)
+        state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
+                            wscene.l0_mixed, wscene.occ_words, state, G=G,
+                            NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
+                            early_exit=early_exit, interpret=interpret)
+
+    if state is not None:
+        ovox, oaidx, ot, oit = _final_scatter(state, ovox, oaidx, ot, oit)
+    return _finish(ovox, oaidx, ot, oit, wscene.attr_comb, origins, dirs,
+                   ws=ws, B=B)

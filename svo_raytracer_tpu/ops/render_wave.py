@@ -1,0 +1,176 @@
+"""Frame rendering through the wavefront engine (ops/wavefront.py).
+
+The per-frame dispatch of the reference (Main.java:257-288: set uniforms,
+dispatch svotrace over the pixel grid, render modes 0-3 in
+svotrace.comp:435-646) re-expressed around the sorted brick-wavefront
+traversal:
+
+  * the traversal itself is host-driven (compaction syncs), so the frame
+    cannot be one jitted function like shade.render_image;
+  * ALL shading math between traversal segments is packed into a few
+    jitted stage functions — eager jnp ops dispatch one tunnel round-trip
+    each on the axon TPU (measured: .tpu_jobs/041_timing.out p3), so the
+    eager path of shade.shade_gi would dominate the frame;
+  * no beam prepass: the wavefront's in-kernel L0 march already gives
+    every ray the empty-space skip the beam kernel (svobeam.comp) exists
+    to provide, at finer granularity and zero extra dispatches.
+
+Shading semantics are identical to ops/shade.py (same helpers), so the
+render modes match the ESVO path pixel-for-pixel up to traversal FP slop
+(tests/test_render_wave.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import constants as C
+from . import rng, shade, wavefront
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def make_isect(wscene, max_rounds=24, interpret=None, min_tiles=64,
+               early_exit=True):
+    """An ``intersect_octree``-shaped callable over a WaveScene."""
+    return functools.partial(wavefront.intersect_wavefront, wscene,
+                             max_rounds=max_rounds, interpret=interpret,
+                             min_tiles=min_tiles, early_exit=early_exit)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _frame_rays(cam5, width, height):
+    dirs_un = shade.pixel_dirs_device(cam5, width, height)
+    dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(cam5[0], dirs.shape)
+    px = jnp.tile(jnp.arange(width, dtype=f32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=f32), width)
+    return origins, dirs, px, py
+
+
+@functools.partial(jax.jit, static_argnames=("first", "mirror_values"))
+def _gi_update(first, mirror_values, accum, mask, depth, iters_out, active,
+               o, d, r, res):
+    """One segment of render mode 0 (svotrace.comp:443-560) given its hit
+    record — the jitted between-traversal math of shade.shade_gi."""
+    hit = active & res.hit
+    miss = active & ~res.hit
+
+    if first:
+        accum = jnp.where(miss[:, None], accum + shade.sky(d), accum)
+        iters_out = jnp.where(active, res.iters, iters_out)
+    else:
+        sun_hit = jnp.arccos(jnp.clip(
+            jnp.sum(d * shade.SUN_DIR_GI[None, :], axis=-1),
+            -1.0, 1.0)) < f32(0.4)
+        add = jnp.where(sun_hit[:, None], mask * f32(7.0), 0.0) + mask
+        accum = jnp.where(miss[:, None], accum + add, accum)
+        depth = jnp.where(miss, f32(0.0), depth)
+        iters_out = jnp.where(hit, res.iters, iters_out)
+
+    normal = jnp.nan_to_num(res.normal)
+    newdir = shade.cosine_bounce(normal, r)
+    if mirror_values:
+        is_mirror = jnp.zeros(active.shape, bool)
+        for v in mirror_values:
+            is_mirror = is_mirror | (res.value == v)
+        newdir = jnp.where(is_mirror[:, None],
+                           shade.mirror_bounce(d, normal), newdir)
+    newdir = jnp.where(jnp.isfinite(newdir), newdir, -d)
+    matcolor = shade.material_color(res.value, res.voxel_pos)
+
+    depth = jnp.where(hit, res.t, depth)
+    ndotl = jnp.sum(newdir * normal, axis=-1, keepdims=True)
+    if mirror_values:
+        ndotl = jnp.where(is_mirror[:, None], 1.0, ndotl)
+    mask = jnp.where(hit[:, None], mask * matcolor * ndotl, mask)
+    o = jnp.where(hit[:, None], res.voxel_pos, o)
+    d = jnp.where(hit[:, None], newdir, d)
+    return accum, mask, depth, iters_out, hit, o, d
+
+
+@jax.jit
+def _gi_init(px, py, frame_number, dirs):
+    B = dirs.shape[0]
+    r = rng.pixel_rand(px, py, frame_number.astype(f32))
+    return (jnp.zeros((B, 3), f32), jnp.ones((B, 3), f32),
+            jnp.full((B,), -1.0, f32), jnp.zeros((B,), i32),
+            jnp.ones((B,), bool), r)
+
+
+@jax.jit
+def _heat_post(res):
+    it = res.iters.astype(f32)
+    v = jnp.where(res.hit, f32(0.005) * it, f32(0.01) * it)
+    return (jnp.repeat(v[:, None], 3, axis=1),
+            jnp.where(res.hit, res.t, f32(0.0)), res.iters)
+
+
+@jax.jit
+def _norm_post(res):
+    col = jnp.where(res.hit[:, None], res.normal * f32(0.5) + f32(0.5),
+                    f32(0.0))
+    return col, jnp.where(res.hit, res.t, f32(0.0)), res.iters
+
+
+@jax.jit
+def _shadow_rays(res):
+    return (res.voxel_pos,
+            jnp.broadcast_to(shade.SUN_DIR_DIRECT, res.voxel_pos.shape),
+            res.hit)
+
+
+def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
+                           frame_number=1, gi_bounces=1, rng_mode="glsl",
+                           rng_key=None, mirror_values=(),
+                           max_depth=C.MAX_DEPTH, max_iterations=None,
+                           max_rounds=24, interpret=None, min_tiles=64,
+                           early_exit=True):
+    """Render one frame through the wavefront engine.
+
+    Returns (color (H,W,3), depth (H,W), iters (H,W)); row 0 is the GL
+    bottom scanline like shade.render_image.  ``max_depth`` is accepted
+    for signature parity but the brick engine always resolves finest
+    leaves (see ops/brick_trace.py docstring).
+    """
+    del max_depth, max_iterations
+    isect = make_isect(wscene, max_rounds=max_rounds, interpret=interpret,
+                       min_tiles=min_tiles, early_exit=early_exit)
+    cam5 = jnp.asarray(cam5, f32)
+    origins, dirs, px, py = _frame_rays(cam5, width, height)
+
+    if render_mode == 0:
+        if rng_mode != "glsl":
+            raise NotImplementedError("wavefront GI supports glsl rng; "
+                                      "use render_progressive for threefry")
+        accum, mask, depth, iters_out, active, r = _gi_init(
+            px, py, jnp.asarray(frame_number, f32), dirs)
+        o, d = origins, dirs
+        for seg in range(gi_bounces + 1):
+            res = isect(o, d, active=active)
+            accum, mask, depth, iters_out, active, o, d = _gi_update(
+                seg == 0, tuple(mirror_values), accum, mask, depth,
+                iters_out, active, o, d, r, res)
+        col = accum
+        it = iters_out
+    elif render_mode == 1:
+        res = isect(origins, dirs)
+        col, depth, it = _heat_post(res)
+    elif render_mode == 2:
+        res = isect(origins, dirs)
+        so, sd, sa = _shadow_rays(res)
+        sh = isect(so, sd, active=sa)
+        col, depth, it = shade.direct_shade_math(dirs, res, sh,
+                                                 jnp.zeros_like(res.t))
+    elif render_mode == 3:
+        res = isect(origins, dirs)
+        col, depth, it = _norm_post(res)
+    else:
+        raise ValueError(f"unknown render mode {render_mode}")
+
+    return (col.reshape(height, width, 3), depth.reshape(height, width),
+            it.reshape(height, width))

@@ -73,7 +73,13 @@ class WaveScene:
 
 
 def prepare(scene) -> WaveScene:
-    """Derive the wavefront tables from a BrickScene (one-time, host)."""
+    """Derive the wavefront tables from a BrickScene (one-time).
+
+    Pass the HOST (NumPy) BrickScene, not ``.to_device()`` output: this
+    reads the arrays with np.asarray, and device->host through the axon
+    tunnel is ~1 MB/s (CLAUDE.md) — the 600 MB attrs would take minutes.
+    The returned WaveScene holds device arrays.
+    """
     if scene.grid_size > 32:
         raise ValueError("wavefront L0 grid is limited to 32^3 "
                          f"(world <= 1024^3); got G={scene.grid_size}")

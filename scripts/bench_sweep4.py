@@ -363,31 +363,10 @@ def main():
         dt = timeit(lambda: asrt(keys), n=5)
         print(f"S1 argsort B={B}: {dt*1e3:.2f} ms", flush=True)
 
-    # ---------------- T1: existing Pallas ESVO kernel ----------------------
-    try:
-        from svo_raytracer_tpu.core import build_np
-        from svo_raytracer_tpu.ops import traverse_pallas
-
-        sz = 64
-        ax = np.arange(sz)
-        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
-        v = (np.sqrt((x - 32) ** 2 + (y - 32) ** 2 + (z - 32) ** 2)
-             <= 16).astype(np.uint8)
-        tree = build_np.build_octree_np(v).to_device()
-        o = jnp.asarray(np.tile([[1.5, 1.5, 2.4]], (8192, 1)).astype(np.float32))
-        dn = rng.normal(size=(8192, 3)).astype(np.float32)
-        dn[:, 2] = -np.abs(dn[:, 2]) - 1.0
-        dn /= np.linalg.norm(dn, axis=1, keepdims=True)
-        dd = jnp.asarray(dn)
-        res = traverse_pallas.intersect_octree(tree.arrays(), o, dd)
-        jax_block(res.t)
-        dt = timeit(lambda: traverse_pallas.intersect_octree(
-            tree.arrays(), o, dd).t, n=5)
-        print(f"T1 pallas ESVO WORKS: 8192 rays {dt*1e3:.2f} ms "
-              f"hit={float(np.asarray(res.hit).mean()):.3f}", flush=True)
-    except Exception as e:
-        print(f"T1 pallas ESVO: FAIL {type(e).__name__}: {str(e)[:300]}",
-              flush=True)
+    # T1 (Pallas ESVO kernel) removed in round 2: ops/traverse_pallas.py
+    # was deleted — it assumed 128 MiB VMEM and arbitrary per-lane gathers
+    # into a VMEM-resident node table, neither of which the hardware /
+    # Mosaic provides (PERF_NOTES.md).  ops/wavefront.py is the fast path.
 
     print("sweep4 done", flush=True)
 

@@ -231,8 +231,11 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
     aidxo_ref[:] = aidx_ref[:]
     ito_ref[:] = it_ref[:]
 
-    cells = [tcell_ref[k, j] for j in range(KMAX)]
-    slots = [tslot_ref[k, j] for j in range(KMAX)]
+    # tile tables are FLAT (T*KMAX,): SMEM pads the trailing dim to 128
+    # lanes, so a (T, KMAX) operand would cost (T, 128) — two of those
+    # blew the 1 MB SMEM budget at 1080p (2025 tiles).
+    cells = [tcell_ref[k * KMAX + j] for j in range(KMAX)]
+    slots = [tslot_ref[k * KMAX + j] for j in range(KMAX)]
     m_brick = (key == cells[0])
     slot_v = jnp.full(key.shape, slots[0], i32)
     for j in range(1, KMAX):
@@ -378,7 +381,7 @@ def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     def occ_spec(j):
         return pl.BlockSpec(
             (1, 8, LANES),
-            lambda k, s, c, j=j: (jnp.maximum(s[k, j], 0), 0, 0),
+            lambda k, s, c, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -399,7 +402,7 @@ def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B // LANES, LANES), dt)
             for dt in (i32, f32, i32, i32, i32)),
-    )(tile_slot, tile_cell, l0_occ, l0_mixed,
+    )(tile_slot.reshape(-1), tile_cell.reshape(-1), l0_occ, l0_mixed,
       *([occ_words] * KMAX),
       *[rs(a) for a in state[:11]])
     key2, t2, vox2, aidx2, it2 = (a.reshape(-1) for a in outs)

@@ -26,3 +26,13 @@ def tile_mesh(n_devices: int | None = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), axis_names=("tiles",))
+
+
+def grid_mesh(n_tiles: int, n_bricks: int, devices=None) -> Mesh:
+    """2-D ``(tiles, bricks)`` mesh: image rows shard over ``tiles``, the
+    octree brick decomposition over ``bricks`` (parallel/bricks.py)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_tiles * n_bricks]).reshape(n_tiles,
+                                                              n_bricks)
+    return Mesh(devices, axis_names=("tiles", "bricks"))

@@ -101,6 +101,11 @@ while time.time() < DEADLINE:
     old_out, old_err = sys.stdout, sys.stderr
     sys.stdout = sys.stderr = Tee(buf, sys.__stdout__)
     try:
+        # drop cached repo modules so jobs always see the checked-out code
+        # (one long-lived process serves many jobs across edits)
+        for mod in [m for m in sys.modules
+                    if m.startswith("svo_raytracer_tpu") or m == "bench"]:
+            del sys.modules[mod]
         ns = {"jax": jax, "jnp": jnp, "np": np, "REPO": REPO,
               "DEADLINE": DEADLINE, "__name__": "__tpu_job__"}
         with open(job) as f:

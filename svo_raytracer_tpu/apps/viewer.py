@@ -30,7 +30,8 @@ from .app import Application
 
 class Viewer(Application):
     def __init__(self, tree: Octree, width=480, height=270, out_dir=".",
-                 commands=None, interactive=False, use_beam=False):
+                 commands=None, interactive=False, use_beam=False,
+                 engine="auto"):
         self.tree_host = tree
         self.width, self.height = width, height
         self.out_dir = out_dir
@@ -43,7 +44,13 @@ class Viewer(Application):
         self.crosshair_depth = 0.0
         self.cam = Camera(pos=np.array([1.5, 1.5, 2.0]))
         self.speed = 0.02
-        self._dirty = True
+        if engine == "auto":
+            engine = ("wavefront" if tree.world_size >= 32
+                      and tree.world_size <= 1024 else "esvo")
+        self.engine = engine
+        self._accum = None      # progressive mode-0 accumulation buffer
+        self._accum_n = 0
+        self._moved = True
 
     # -- device plumbing --
     def pre_run(self):
@@ -53,6 +60,23 @@ class Viewer(Application):
 
         self._jnp = jnp
         self.device_tree = DeviceTree(self.tree_host)
+        self.wave_scene = None
+        if self.engine == "wavefront":
+            from ..ops import brick_scene, wavefront
+
+            self.brick_host = brick_scene.brickify(self.tree_host)
+            self.wave_scene = wavefront.prepare(self.brick_host)
+
+    def _rebuild_wave(self):
+        if self.engine == "wavefront":
+            from ..ops import brick_scene, wavefront
+
+            self.brick_host = brick_scene.brickify(self.tree_host)
+            self.wave_scene = wavefront.prepare(
+                self.brick_host, capacity=self.wave_scene.capacity
+                if self.wave_scene is not None
+                and self.wave_scene.capacity >= self.brick_host.n_mixed
+                else None)
 
     # -- frame --
     def update_early(self):
@@ -70,12 +94,35 @@ class Viewer(Application):
 
         jnp = self._jnp
         cam5 = jnp.asarray(self.cam.uniform(), jnp.float32)
+        # camera motion / edits restart progressive accumulation
+        # (Main.java:161-243: any change resets frameNumber to 0)
+        if self._moved:
+            self.frame_number = 0
+            self._accum = None
+            self._accum_n = 0
+            self._moved = False
         self.frame_number += 1
-        color, depth, iters = shade.render_image(
-            self.device_tree.arrays(), cam5, self.width, self.height,
-            render_mode=self.render_mode, frame_number=self.frame_number,
-            use_beam=self.use_beam)
-        self.color = np.asarray(color)
+        if self.engine == "wavefront":
+            from ..ops import render_wave
+
+            color, depth, iters = render_wave.render_frame_wavefront(
+                self.wave_scene, cam5, self.width, self.height,
+                render_mode=self.render_mode,
+                frame_number=self.frame_number)
+        else:
+            color, depth, iters = shade.render_image(
+                self.device_tree.arrays(), cam5, self.width, self.height,
+                render_mode=self.render_mode, frame_number=self.frame_number,
+                use_beam=self.use_beam)
+        color = np.asarray(color)
+        if self.render_mode == 0:
+            # progressive running average — done properly, unlike the
+            # reference's commented-out version (svotrace.comp:712-719)
+            self._accum = color if self._accum is None \
+                else self._accum + color
+            self._accum_n += 1
+            color = self._accum / self._accum_n
+        self.color = color
         depth = np.asarray(depth)
         # crosshair depth readback (Main.java:132-146) — center pixel only,
         # not the reference's full-frame glGetTexImage
@@ -105,12 +152,28 @@ class Viewer(Application):
         new_tree, cb = sdf.use_sdf_brush(self.tree_host, ball, value)
         self.tree_host = new_tree
         self.device_tree.ranged_update(new_tree, cb)
+        if self.engine == "wavefront":
+            # incremental re-brick of only the touched cells — a full
+            # brickify is ~96 s at 1024^3 (PERF_NOTES.md)
+            from ..ops import brick_scene, wavefront
+
+            patch = brick_scene.brickify_patch(new_tree, self.brick_host,
+                                               ball.min, ball.max)
+            self.wave_scene = wavefront.apply_patch(self.wave_scene,
+                                                    self.brick_host, patch)
+        self._moved = True
         print(f"# placed sphere v={value} at {target} "
               f"dirty=[{cb.start0},{cb.end0})+[{cb.start1},{cb.end1})",
               file=sys.stderr)
 
+    _MOVING = ("move_forward", "move_back", "move_left", "move_right",
+               "move_up", "move_down", "rotate_left", "rotate_right",
+               "rotate_up", "rotate_down")
+
     def _apply(self, action: str):
         c = self.cam
+        if action in self._MOVING or action.startswith("render_mode_"):
+            self._moved = True
         if action == "move_forward":
             c.pos = c.pos + c.forward * self.speed
         elif action == "move_back":
@@ -145,6 +208,8 @@ class Viewer(Application):
                 os.path.join(self.out_dir, "level1.svo"),
                 world_size=self.tree_host.world_size)
             self.device_tree.full_upload(self.tree_host)
+            self._rebuild_wave()
+            self._moved = True
         elif action == "subtract_sphere":
             self._place_sdf(0)
         elif action == "put_sphere":
@@ -187,6 +252,9 @@ def main(argv=None):
                     help="space-separated commands, e.g. 'w w j p Q'")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--beam", action="store_true")
+    ap.add_argument("--engine", default="auto",
+                    choices=("auto", "wavefront", "esvo"),
+                    help="traversal engine (auto: wavefront for 32..1024^3)")
     ap.add_argument("--cpu", action="store_true", help="pin jax to CPU")
     args = ap.parse_args(argv)
 
@@ -203,7 +271,7 @@ def main(argv=None):
     commands = args.script.split() if args.script else None
     viewer = Viewer(tree, args.width, args.height, args.out,
                     commands=commands, interactive=args.script is None,
-                    use_beam=args.beam)
+                    use_beam=args.beam, engine=args.engine)
     viewer.launch(max_frames=args.frames or (len(commands) if commands
                                              else None))
 

@@ -74,6 +74,80 @@ def _attr_word(value, raw_normal, depth):
         | (depth.astype(np.int64) << 24)
 
 
+def _leaf_attr(value, normal, mask, nodes, tags, depth):
+    """Attribute word(s) of leaf nodes (module docstring encoding)."""
+    raw = np.where(tags == C.TAG_SURFACE_LEAF, normal[nodes],
+                   np.where(tags == C.TAG_NON_SURFACE_LEAF, 0, mask[nodes]))
+    return _attr_word(value[nodes], raw,
+                      np.asarray(depth, np.int64) * np.ones(len(nodes),
+                                                            np.int64)
+                      if np.ndim(depth) == 0 else depth)
+
+
+def _raster_subtrees(child, mask, value, normal, roots, brick_depth,
+                     brick: int = BRICK):
+    """Rasterize brick-level branch subtrees to (n, brick^3) attr words.
+
+    ``roots``: (n,) node indices of brick-level BRANCH nodes;
+    ``brick_depth``: their depth below the root.  Level-synchronous
+    vectorized descent (the same loop as brickify pass 2)."""
+    n = len(roots)
+    attrs = np.zeros((n, brick * brick * brick), np.int32)
+    if n == 0:
+        return attrs
+    k = np.arange(8, dtype=np.int64)
+    nodes = np.asarray(roots, np.int64)
+    tags = np.full(n, C.TAG_BRANCH, np.int64)
+    slots = np.arange(n, dtype=np.int64)
+    lx = np.zeros(n, np.int64)
+    ly = np.zeros(n, np.int64)
+    lz = np.zeros(n, np.int64)
+    span = brick
+    depth = brick_depth
+    while True:
+        is_branch = (tags == C.TAG_BRANCH) & (child[nodes] != 0)
+        leaf = ~is_branch
+        if leaf.any():
+            attr = _leaf_attr(value, normal, mask, nodes[leaf], tags[leaf],
+                              depth)
+            base = ((lx[leaf] * brick + ly[leaf]) * brick + lz[leaf]
+                    + slots[leaf] * brick**3)
+            s = span
+            off = np.arange(s, dtype=np.int64)
+            o3 = (off[:, None, None] * brick * brick
+                  + off[None, :, None] * brick + off[None, None, :]
+                  ).reshape(-1)
+            attrs.reshape(-1)[(base[:, None] + o3[None, :]).reshape(-1)] \
+                = np.repeat(attr, s * s * s).astype(np.int32)
+        if span == 1 or not is_branch.any():
+            break
+        bn = nodes[is_branch]
+        bs = slots[is_branch]
+        bx, by, bz = lx[is_branch], ly[is_branch], lz[is_branch]
+        nodes = (child[bn][:, None] + k[None, :]).reshape(-1)
+        tags = ((mask[bn][:, None] >> (2 * k[None, :])) & 3).reshape(-1)
+        slots = np.repeat(bs, 8)
+        half = span // 2
+        lx = (bx[:, None] + (k[None, :] & 1) * half).reshape(-1)
+        ly = (by[:, None] + ((k[None, :] >> 1) & 1) * half).reshape(-1)
+        lz = (bz[:, None] + ((k[None, :] >> 2) & 1) * half).reshape(-1)
+        span //= 2
+        depth += 1
+    return attrs
+
+
+def occupancy_words(attrs, brick: int = BRICK):
+    """(n, brick^3) attr words -> (n, 8, 128) z-packed occupancy bits
+    (word (x*32 + y), bit z — matches ops/brick_dda.pack_occupancy)."""
+    n = attrs.shape[0]
+    solid = (attrs & 0xFF) != 0
+    vox = solid.reshape(n, brick, brick, brick)
+    w = np.zeros((n, brick, brick), np.uint32)
+    for z in range(brick):
+        w |= vox[:, :, :, z].astype(np.uint32) << np.uint32(z)
+    return w.reshape(n, 8, 128).view(np.int32)
+
+
 def brickify(tree, brick: int = BRICK) -> BrickScene:
     """Decompose an Octree (host SoA) into the brick scene format.
 
@@ -91,11 +165,8 @@ def brickify(tree, brick: int = BRICK) -> BrickScene:
     G = ws // brick
 
     def leaf_attr(nodes, tags, depth):
-        raw = np.where(tags == C.TAG_SURFACE_LEAF, normal[nodes],
-                       np.where(tags == C.TAG_NON_SURFACE_LEAF, 0,
-                                mask[nodes]))
-        return _attr_word(value[nodes], raw, np.full(nodes.shape, depth,
-                                                     np.int64))
+        return _leaf_attr(value, normal, mask, nodes, tags,
+                          np.full(nodes.shape, depth, np.int64))
 
     # ---- pass 1: descend to brick level --------------------------------
     uni = np.zeros(G * G * G, np.int64)       # uniform attr per brick cell
@@ -161,51 +232,9 @@ def brickify(tree, brick: int = BRICK) -> BrickScene:
     nm = max(n_mixed, 1)
     attrs = np.zeros((nm, brick * brick * brick), np.int32)
     if n_mixed:
-        nodes = mixed_node
-        tags = np.full(n_mixed, C.TAG_BRANCH, np.int64)
-        slots = np.arange(n_mixed, dtype=np.int64)
-        lx = np.zeros(n_mixed, np.int64)
-        ly = np.zeros(n_mixed, np.int64)
-        lz = np.zeros(n_mixed, np.int64)
-        span = brick
-        depth = brick_depth
-        while True:
-            is_branch = (tags == C.TAG_BRANCH) & (child[nodes] != 0)
-            leaf = ~is_branch
-            if leaf.any():
-                attr = leaf_attr(nodes[leaf], tags[leaf], depth)
-                base = ((lx[leaf] * brick + ly[leaf]) * brick + lz[leaf]
-                        + slots[leaf] * brick**3)
-                s = span
-                off = np.arange(s, dtype=np.int64)
-                o3 = (off[:, None, None] * brick * brick
-                      + off[None, :, None] * brick + off[None, None, :]
-                      ).reshape(-1)
-                attrs.reshape(-1)[(base[:, None] + o3[None, :]).reshape(-1)] \
-                    = np.repeat(attr, s * s * s).astype(np.int32)
-            if span == 1 or not is_branch.any():
-                break
-            bn = nodes[is_branch]
-            bs = slots[is_branch]
-            bx, by, bz = lx[is_branch], ly[is_branch], lz[is_branch]
-            nodes = (child[bn][:, None] + k[None, :]).reshape(-1)
-            tags = ((mask[bn][:, None] >> (2 * k[None, :])) & 3).reshape(-1)
-            slots = np.repeat(bs, 8)
-            half = span // 2
-            lx = (bx[:, None] + (k[None, :] & 1) * half).reshape(-1)
-            ly = (by[:, None] + ((k[None, :] >> 1) & 1) * half).reshape(-1)
-            lz = (bz[:, None] + ((k[None, :] >> 2) & 1) * half).reshape(-1)
-            span //= 2
-            depth += 1
-
-    # ---- occupancy bitfields --------------------------------------------
-    solid = (attrs & 0xFF) != 0
-    vox = solid.reshape(nm, brick, brick, brick)
-    # word (x*32 + y), bit z — matches ops/brick_dda.pack_occupancy at G=32
-    w = np.zeros((nm, brick, brick), np.uint32)
-    for z in range(brick):
-        w |= vox[:, :, :, z].astype(np.uint32) << np.uint32(z)
-    occ_words = w.reshape(nm, 8, 128).view(np.int32)
+        attrs[:n_mixed] = _raster_subtrees(child, mask, value, normal,
+                                           mixed_node, brick_depth, brick)
+    occ_words = occupancy_words(attrs, brick)
 
     l0_occ = ((uni & 0xFF) != 0) | (slot_map >= 0)
     l0_table = np.asarray(brick_dda.table_rows(
@@ -219,3 +248,110 @@ def brickify(tree, brick: int = BRICK) -> BrickScene:
         occ_words=occ_words,
         attrs=attrs.reshape(nm, 256, 128),
     )
+
+
+@dataclasses.dataclass
+class ScenePatch:
+    """Device-update description from :func:`brickify_patch`."""
+
+    cells: np.ndarray      # (m,) flat brick cells touched
+    cell_slot: np.ndarray  # (m,) new slot per cell (-1 = uniform)
+    cell_attr: np.ndarray  # (m,) new uniform attr per cell (0 if mixed)
+    upd_slots: np.ndarray  # (p,) slots whose payload rows changed
+    occ_rows: np.ndarray   # (p, 8, 128)
+    attr_rows: np.ndarray  # (p, 256, 128)
+    n_mixed: int           # mixed count after the patch
+
+
+def brickify_patch(tree, scene: BrickScene, vmin, vmax,
+                   brick: int = BRICK) -> ScenePatch:
+    """Recompute the bricks overlapping voxel AABB [vmin, vmax] after an
+    edit (the incremental analog of the reference's ranged SSBO update,
+    Octree.java:676-698 + Main.java:349-350) and update ``scene`` (host
+    arrays) in place.
+
+    Mixed->uniform transitions orphan their payload slot — the arena only
+    grows, exactly like the reference's tombstoned subtrees
+    (Octree.java:954-956); a full :func:`brickify` reclaims.
+    """
+    child = np.asarray(tree.child[:tree.n_nodes]).astype(np.int64)
+    mask = np.asarray(tree.mask[:tree.n_nodes]).astype(np.int64)
+    value = np.asarray(tree.value[:tree.n_nodes]).astype(np.int64)
+    normal = np.asarray(tree.normal[:tree.n_nodes]).astype(np.int64)
+    G = scene.grid_size
+    lo = np.clip(np.asarray(vmin) // brick, 0, G - 1)
+    hi = np.clip(np.asarray(vmax) // brick, 0, G - 1)
+    cx, cy, cz = (a.reshape(-1) for a in np.meshgrid(
+        *(np.arange(lo[i], hi[i] + 1) for i in range(3)), indexing="ij"))
+    m = len(cx)
+
+    # per-cell walk root -> brick level (octant addressing as in brickify)
+    node = np.zeros(m, np.int64)
+    tag = np.full(m, C.TAG_BRANCH, np.int64)
+    ox = np.zeros(m, np.int64)
+    oy = np.zeros(m, np.int64)
+    oz = np.zeros(m, np.int64)
+    fdepth = np.zeros(m, np.int64)
+    leafed = np.zeros(m, bool)
+    span, depth = G, 0
+    while span > 1:
+        is_branch = (tag == C.TAG_BRANCH) & (child[node] != 0)
+        newly = ~is_branch & ~leafed
+        fdepth[newly] = depth
+        leafed |= ~is_branch
+        half = span // 2
+        kx = ((cx - ox) >= half).astype(np.int64)
+        ky = ((cy - oy) >= half).astype(np.int64)
+        kz = ((cz - oz) >= half).astype(np.int64)
+        k = kx | (ky << 1) | (kz << 2)
+        new_tag = (mask[node] >> (2 * k)) & 3
+        node = np.where(is_branch, child[node] + k, node)
+        tag = np.where(is_branch, new_tag, tag)
+        span, depth = half, depth + 1
+        ox = ox + np.where(is_branch, kx * half, 0)
+        oy = oy + np.where(is_branch, ky * half, 0)
+        oz = oz + np.where(is_branch, kz * half, 0)
+    is_branch = (tag == C.TAG_BRANCH) & (child[node] != 0)
+    newly = ~is_branch & ~leafed
+    fdepth[newly] = depth
+    mixed = is_branch
+
+    flat = (cx * G + cy) * G + cz
+    uni_attr = np.zeros(m, np.int64)
+    if (~mixed).any():
+        uni_attr[~mixed] = _leaf_attr(value, normal, mask, node[~mixed],
+                                      tag[~mixed], fdepth[~mixed])
+
+    prev = scene.brick_slot[flat].astype(np.int64)
+    need_new = mixed & (prev < 0)
+    slot = np.where(mixed, prev, -1)
+    slot[need_new] = scene.n_mixed + np.arange(need_new.sum())
+    n_mixed2 = scene.n_mixed + int(need_new.sum())
+
+    attrs_m = _raster_subtrees(child, mask, value, normal, node[mixed],
+                               depth, brick)
+    occ_m = occupancy_words(attrs_m, brick)
+
+    # in-place host-scene update
+    scene.brick_slot[flat] = slot.astype(np.int32)
+    scene.brick_attr[flat] = np.where(mixed, 0, uni_attr).astype(np.int32)
+    grow = n_mixed2 - scene.occ_words.shape[0]
+    if grow > 0:
+        scene.occ_words = np.concatenate(
+            [scene.occ_words, np.zeros((grow, 8, 128), np.int32)])
+        scene.attrs = np.concatenate(
+            [scene.attrs, np.zeros((grow, 256, 128), np.int32)])
+    upd = slot[mixed]
+    scene.occ_words[upd] = occ_m
+    scene.attrs[upd] = attrs_m.reshape(-1, 256, 128)
+    scene.n_mixed = n_mixed2
+    l0_occ = (((scene.brick_attr & 0xFF) != 0) | (scene.brick_slot >= 0))
+    scene.l0_table = np.asarray(brick_dda.table_rows(
+        brick_dda.pack_occupancy(l0_occ.reshape(G, G, G)))).astype(np.int32)
+
+    return ScenePatch(cells=flat.astype(np.int32),
+                      cell_slot=slot.astype(np.int32),
+                      cell_attr=np.where(mixed, 0, uni_attr).astype(np.int32),
+                      upd_slots=upd.astype(np.int32), occ_rows=occ_m,
+                      attr_rows=attrs_m.reshape(-1, 256, 128),
+                      n_mixed=n_mixed2)

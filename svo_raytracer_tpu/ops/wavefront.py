@@ -60,19 +60,32 @@ _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
 # --------------------------------------------------------------------- scene
 @dataclasses.dataclass
 class WaveScene:
-    """Device-ready wavefront view of a BrickScene."""
+    """Device-ready wavefront view of a BrickScene.
+
+    Payload arrays are allocated at ``capacity`` >= n_mixed slots so
+    incremental edits (:func:`apply_patch`) can append mixed bricks
+    without changing array shapes (a shape change recompiles every
+    kernel — ~40 s through the tunnel).
+    """
 
     world_size: int
     grid_size: int
     n_mixed: int
+    capacity: int
     l0_occ: Any      # (rows,128) i32 — occupied-brick bits (occ|uniform)
     l0_mixed: Any    # (rows,128) i32 — mixed-brick bits (slot >= 0)
     brick_slot: Any  # (G^3,) i32
-    occ_words: Any   # (n_mixed, 8, 128) i32
-    attr_comb: Any   # (n_mixed*32768 + G^3,) i32 — mixed attrs ++ uniform
+    occ_words: Any   # (capacity, 8, 128) i32
+    attr_comb: Any   # (capacity*32768 + G^3,) i32 — mixed attrs ++ uniform
 
 
-def prepare(scene) -> WaveScene:
+def _l0_mixed_table(scene):
+    G = scene.grid_size
+    mixed = (np.asarray(scene.brick_slot) >= 0).reshape(G, G, G)
+    return np.asarray(brick_dda.table_rows(brick_dda.pack_occupancy(mixed)))
+
+
+def prepare(scene, capacity: int | None = None) -> WaveScene:
     """Derive the wavefront tables from a BrickScene (one-time).
 
     Pass the HOST (NumPy) BrickScene, not ``.to_device()`` output: this
@@ -84,21 +97,62 @@ def prepare(scene) -> WaveScene:
         raise ValueError("wavefront L0 grid is limited to 32^3 "
                          f"(world <= 1024^3); got G={scene.grid_size}")
     G = scene.grid_size
-    slot = np.asarray(scene.brick_slot)
-    mixed = (slot >= 0).reshape(G, G, G)
-    l0_mixed = np.asarray(brick_dda.table_rows(
-        brick_dda.pack_occupancy(mixed)))
-    attrs = np.asarray(scene.attrs).reshape(-1).astype(np.int32)
-    attr_comb = np.concatenate([attrs,
-                                np.asarray(scene.brick_attr, np.int32)])
+    if capacity is None:
+        capacity = scene.n_mixed + max(64, scene.n_mixed // 8)
+    assert capacity >= scene.n_mixed
+    nm = scene.occ_words.shape[0]
+    occ = np.zeros((capacity, 8, 128), np.int32)
+    occ[:nm] = np.asarray(scene.occ_words)
+    attr_comb = np.zeros(capacity * 32768 + G * G * G, np.int32)
+    attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
+    attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr, np.int32)
     return WaveScene(
         world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
+        capacity=capacity,
         l0_occ=jnp.asarray(scene.l0_table, i32),
-        l0_mixed=jnp.asarray(l0_mixed, i32),
-        brick_slot=jnp.asarray(slot, i32),
-        occ_words=jnp.asarray(scene.occ_words, i32),
+        l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
+        brick_slot=jnp.asarray(scene.brick_slot, i32),
+        occ_words=jnp.asarray(occ, i32),
         attr_comb=jnp.asarray(attr_comb, i32),
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("cap",))
+def _apply_patch_dev(attr_comb, occ_words, brick_slot, upd_slots, attr_rows,
+                     occ_rows, cells, cell_attr, cell_slot, cap):
+    head = attr_comb[:cap * 32768].reshape(cap, 32768)
+    head = head.at[upd_slots].set(attr_rows)
+    tail = attr_comb[cap * 32768:].at[cells].set(cell_attr)
+    attr_comb = jnp.concatenate([head.reshape(-1), tail])
+    occ_words = occ_words.at[upd_slots].set(occ_rows)
+    brick_slot = brick_slot.at[cells].set(cell_slot)
+    return attr_comb, occ_words, brick_slot
+
+
+def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
+    """Apply a brick_scene.ScenePatch (host scene already updated) to the
+    device WaveScene.  Uploads only the changed payload rows plus the two
+    4 KB L0 bit tables — the analog of the reference's two ranged SSBO
+    uploads after an edit (Main.java:349-350).  Falls back to a full
+    :func:`prepare` when the patch outgrows the slot capacity.
+    """
+    if patch.n_mixed > ws.capacity:
+        return prepare(scene, capacity=patch.n_mixed
+                       + max(64, patch.n_mixed // 8))
+    p = len(patch.upd_slots)
+    attr_comb, occ_words, brick_slot = _apply_patch_dev(
+        ws.attr_comb, ws.occ_words, ws.brick_slot,
+        jnp.asarray(patch.upd_slots, i32),
+        jnp.asarray(patch.attr_rows.reshape(p, 32768), i32),
+        jnp.asarray(patch.occ_rows, i32),
+        jnp.asarray(patch.cells, i32), jnp.asarray(patch.cell_attr, i32),
+        jnp.asarray(patch.cell_slot, i32), cap=ws.capacity)
+    return WaveScene(
+        world_size=ws.world_size, grid_size=ws.grid_size,
+        n_mixed=patch.n_mixed, capacity=ws.capacity,
+        l0_occ=jnp.asarray(scene.l0_table, i32),
+        l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
+        brick_slot=brick_slot, occ_words=occ_words, attr_comb=attr_comb)
 
 
 # -------------------------------------------------------------------- kernel
@@ -412,16 +466,14 @@ def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
 
 
 # -------------------------------------------------------------------- driver
-@functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
-def _sort_stage(state, brick_slot, ovox, oaidx, ot, oit):
-    """Harvest-scatter current results, sort by key, build tile tables,
-    count actives.  Runs once per round at the current (static) size."""
+@jax.jit
+def _sort_stage(state, brick_slot):
+    """Sort by key, build tile tables, count actives.  Runs once per
+    round at the current (static) size.  Results of finished rays ride
+    the sort into the tail and are harvested when compaction slices them
+    off (_harvest) — scattering them every round would cost 4 full-size
+    random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round)."""
     (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
-    ovox = ovox.at[rid].set(vox, mode="drop")
-    oaidx = oaidx.at[rid].set(aidx, mode="drop")
-    ot = ot.at[rid].set(t, mode="drop")
-    oit = oit.at[rid].set(it, mode="drop")
-
     srt = jax.lax.sort((key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid),
                        num_keys=1)
     key_s = srt[0]
@@ -437,22 +489,26 @@ def _sort_stage(state, brick_slot, ovox, oaidx, ot, oit):
     tile_slot = jnp.where(tile_cell >= 0,
                           brick_slot[jnp.maximum(tile_cell, 0)], -1)
     n_act = jnp.sum(key_s != KEY_DONE)
-    return srt, tile_slot, tile_cell, n_act, (ovox, oaidx, ot, oit)
+    return srt, tile_slot, tile_cell, n_act
 
 
 @jax.jit
 def _slice_half(state, tile_slot, tile_cell):
     """Prefix-slice the sorted state to ceil(T/2) tiles (compaction —
-    done rays occupy the tail after the sort)."""
+    done rays occupy the tail after the sort).  Returns the retired tail
+    too, for harvesting."""
     T = tile_slot.shape[0]
     T2 = (T + 1) // 2
-    return (tuple(a[:T2 * TILE] for a in state), tile_slot[:T2],
-            tile_cell[:T2])
+    head = tuple(a[:T2 * TILE] for a in state)
+    tail = tuple(a[T2 * TILE:] for a in state)
+    return head, tail, tile_slot[:T2], tile_cell[:T2]
 
 
-@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-def _final_scatter(state, ovox, oaidx, ot, oit):
-    (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
+@functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7))
+def _harvest(t, vox, aidx, it, ovox, oaidx, ot, oit, rid):
+    """Scatter one retired slice's results into the output buffers.
+    Shapes are ladder-stable (halving tails), so this compiles once per
+    tail size; total scatter work per segment is <= one full B."""
     ovox = ovox.at[rid].set(vox, mode="drop")
     oaidx = oaidx.at[rid].set(aidx, mode="drop")
     ot = ot.at[rid].set(t, mode="drop")
@@ -514,7 +570,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     """
     B = origins.shape[0]
     G = wscene.grid_size
-    NM = wscene.n_mixed
+    NM = wscene.capacity   # uniform-attr base in attr_comb
     ws = wscene.world_size
     if active is None:
         active = jnp.ones(B, bool)
@@ -543,26 +599,27 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
 
     for r in range(1, max_rounds + 1):
-        state, tile_slot, tile_cell, n_act, bufs = _sort_stage(
-            state, wscene.brick_slot, ovox, oaidx, ot, oit)
-        ovox, oaidx, ot, oit = bufs
+        state, tile_slot, tile_cell, n_act = _sort_stage(state,
+                                                         wscene.brick_slot)
         n = int(n_act)   # host sync — drives compaction
         if profile is not None:
             profile["rounds"].append(dict(r=r, size=state[0].shape[0],
                                           active=n))
         if n == 0:
-            state = None
             break
         while (tile_slot.shape[0] + 1) // 2 >= max(
                 -(-n // TILE), min_tiles) and tile_slot.shape[0] > min_tiles:
-            state, tile_slot, tile_cell = _slice_half(state, tile_slot,
-                                                      tile_cell)
+            state, tail, tile_slot, tile_cell = _slice_half(
+                state, tile_slot, tile_cell)
+            ovox, oaidx, ot, oit = _harvest(tail[7], tail[8], tail[9],
+                                            tail[10], ovox, oaidx, ot, oit,
+                                            tail[11])
         state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
                             early_exit=early_exit, interpret=interpret)
 
-    if state is not None:
-        ovox, oaidx, ot, oit = _final_scatter(state, ovox, oaidx, ot, oit)
+    ovox, oaidx, ot, oit = _harvest(state[7], state[8], state[9], state[10],
+                                    ovox, oaidx, ot, oit, state[11])
     return _finish(ovox, oaidx, ot, oit, wscene.attr_comb, origins, dirs,
                    ws=ws, B=B)

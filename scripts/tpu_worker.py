@@ -98,6 +98,9 @@ while time.time() < DEADLINE:
             for w in self.ws:
                 w.flush()
 
+        def close(self):  # interpreter shutdown may close sys.stdout
+            pass
+
     old_out, old_err = sys.stdout, sys.stderr
     sys.stdout = sys.stderr = Tee(buf, sys.__stdout__)
     try:

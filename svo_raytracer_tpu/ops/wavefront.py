@@ -261,12 +261,17 @@ def _bcast_rows(block, n):
             for r in range(n)]
 
 
-def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
+def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
                tslot_ref, tcell_ref, l0_ref, mx_ref, *refs):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     refs = occ_0..occ_{KMAX-1}, key, ox, oy, oz, dx, dy, dz, t, vox,
     aidx, it  ||  keyo, to, voxo, aidxo, ito.
+
+    ``cont`` unrolls the {brick DDA, L0 march} pair: a ray keeps marching
+    this round while its next brick stays within the tile's KMAX
+    candidates, so grazing rays cross several surface bricks per sort
+    (r2 profile: one brick/round took 18 rounds at 1080p).
     """
     import jax.experimental.pallas as pl  # local: keeps CPU-importable
 
@@ -276,11 +281,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
     keyo_ref, to_ref, voxo_ref, aidxo_ref, ito_ref = refs[KMAX + 11:]
 
     k = pl.program_id(0)
-    key = key_ref[:]
-    t_in = t_ref[:]
+    key0 = key_ref[:]
     # defaults: pass-through (inactive / punted lanes keep their state)
-    keyo_ref[:] = key
-    to_ref[:] = t_in
+    keyo_ref[:] = key0
+    to_ref[:] = t_ref[:]
     voxo_ref[:] = vox_ref[:]
     aidxo_ref[:] = aidx_ref[:]
     ito_ref[:] = it_ref[:]
@@ -290,15 +294,11 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
     # blew the 1 MB SMEM budget at 1080p (2025 tiles).
     cells = [tcell_ref[k * KMAX + j] for j in range(KMAX)]
     slots = [tslot_ref[k * KMAX + j] for j in range(KMAX)]
-    m_brick = (key == cells[0])
-    slot_v = jnp.full(key.shape, slots[0], i32)
+    in_cells0 = (key0 == cells[0])
     for j in range(1, KMAX):
-        mj = key == cells[j]
-        m_brick = m_brick | mj
-        slot_v = jnp.where(mj, slots[j], slot_v)
-    m_init = key == KEY_INIT
+        in_cells0 = in_cells0 | (key0 == cells[j])
 
-    @pl.when(jnp.any(m_brick | m_init))
+    @pl.when(jnp.any(in_cells0 | (key0 == KEY_INIT)))
     def _tile():
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -307,120 +307,144 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit,
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
         dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)
         inv_x, inv_y, inv_z = 1.0 / dxc, 1.0 / dyc, 1.0 / dzc
-
-        # ---- phase 1: voxel DDA inside each lane's own brick ------------
-        # The composite fetch reads ARBITRARY lanes of its table rows, so
-        # a per-lane personalized table cannot work (a lane would read
-        # another ray's brick bits — found the hard way).  Instead the
-        # KMAX bricks run sequentially, each with its own clean table;
-        # the early-exit while loops make absent/finished bricks free.
-        kc = jnp.clip(key, 0, G * G * G - 1)
-        bx = (kc // (G * G)).astype(f32) * 32.0
-        by = ((kc // G) % G).astype(f32) * 32.0
-        bz = (kc % G).astype(f32) * 32.0
-        px = ox + t_in * dxc
-        py = oy + t_in * dyc
-        pz = oz + t_in * dzc
-        lx, ly, lz = px - bx, py - by, pz - bz
-
-        zi = jnp.zeros(key.shape, i32)
-        zf = jnp.zeros(key.shape, f32)
-        hit1 = zi
-        fx, fy, fz = zi, zi, zi
-        t1 = zf
-        st1 = zi
-        for j in range(KMAX):
-            mj = key == cells[j]
-            occ_rows = _bcast_rows(occ_refs[j][0], 8)
-
-            def occ_probe(cx, cy, cz, occ_rows=occ_rows):
-                word = _fetch(occ_rows, cx * 32 + cy)
-                return ((word >> cz) & 1) != 0
-
-            h, x, y, z, tt, _ins, st = _dda(
-                lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-                32, f32(1.0), occ_probe, inner_cap, mj.astype(i32),
-                early_exit)
-            hit1 = jnp.where(mj, h, hit1)
-            fx = jnp.where(mj, x, fx)
-            fy = jnp.where(mj, y, fy)
-            fz = jnp.where(mj, z, fz)
-            t1 = jnp.where(mj, tt, t1)
-            st1 = st1 + jnp.where(mj, st, 0)
-        hit1b = (hit1 != 0) & m_brick
-
-        # ---- phase 2: L0 march to the next occupied brick ----------------
-        t2_0 = jnp.where(m_init, t_in, t_in + t1 + _EXIT_EPS)
-        p2x = ox + t2_0 * dxc
-        p2y = oy + t2_0 * dyc
-        p2z = oz + t2_0 * dzc
-        act2 = (m_brick & ~hit1b) | m_init
         l0_rows = _bcast_rows(l0_ref, l0_ref.shape[0])
         mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
+        occ_rows_j = [_bcast_rows(occ_refs[j][0], 8) for j in range(KMAX)]
 
         def l0_probe(cx, cy, cz):
             word = _fetch(l0_rows, cx * G + cy)
             return ((word >> cz) & 1) != 0
 
-        hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda(
-            p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-            G, f32(32.0), l0_probe, l0_cap, act2.astype(i32), early_exit)
-        hit2b = hit2 != 0
-        ins2b = ins2 != 0
-        mxw = _fetch(mx_rows, jnp.clip(b2x, 0, G - 1) * G
-                     + jnp.clip(b2y, 0, G - 1))
-        is_mixed = ((mxw >> jnp.clip(b2z, 0, G - 1)) & 1) != 0
-        cell2 = (b2x * G + b2y) * G + b2z
-
-        # uniform-solid brick: hit at entry face; voxel from entry point
-        t_uni = t2_0 + t2
-        ux = jnp.clip((p2x + t2 * dxc).astype(i32), b2x * 32, b2x * 32 + 31)
-        uy = jnp.clip((p2y + t2 * dyc).astype(i32), b2y * 32, b2y * 32 + 31)
-        uz = jnp.clip((p2z + t2 * dzc).astype(i32), b2z * 32, b2z * 32 + 31)
-
         ws = G * 32
-        proc = m_brick | m_init
-        u_hit = act2 & hit2b & ~is_mixed
-        m_stop = act2 & hit2b & is_mixed
-        stuck = act2 & ~hit2b & ins2b     # budget spent inside the grid
-        missed = act2 & ~hit2b & ~ins2b
+        zi = jnp.zeros(key0.shape, i32)
+        zf = jnp.zeros(key0.shape, f32)
 
-        # mixed-brick voxel hit (phase 1)
-        gvx = (kc // (G * G)) * 32 + fx
-        gvy = ((kc // G) % G) * 32 + fy
-        gvz = (kc % G) * 32 + fz
-        widx = (fx * 32 + fy) * 32 + fz
+        keyw = key0
+        tw = t_ref[:]
+        voxw = vox_ref[:]
+        aidxw = aidx_ref[:]
+        itw = it_ref[:]
 
-        new_key = jnp.where(hit1b | u_hit | missed, KEY_DONE,
-                            jnp.where(m_stop, cell2,
-                                      jnp.where(stuck, KEY_INIT, key)))
-        new_t = jnp.where(hit1b, t_in + t1,
-                          jnp.where(u_hit, t_uni,
-                                    jnp.where(m_stop, t2_0 + t2,
-                                              jnp.where(stuck,
-                                                        t2_0 + t2 + _EXIT_EPS,
-                                                        jnp.where(missed,
-                                                                  f32(0.0),
-                                                                  t_in)))))
-        new_vox = jnp.where(hit1b, (gvx * ws + gvy) * ws + gvz,
-                            jnp.where(u_hit, (ux * ws + uy) * ws + uz,
-                                      jnp.where(missed, i32(-1),
-                                                vox_ref[:])))
-        new_aidx = jnp.where(hit1b, slot_v * 32768 + widx,
-                             jnp.where(u_hit, i32(NM) * 32768 + cell2,
-                                       aidx_ref[:]))
+        for _c in range(cont):
+            m_init = keyw == KEY_INIT
+            m_brick = (keyw == cells[0])
+            slot_v = jnp.full(keyw.shape, slots[0], i32)
+            for j in range(1, KMAX):
+                mj = keyw == cells[j]
+                m_brick = m_brick | mj
+                slot_v = jnp.where(mj, slots[j], slot_v)
 
-        keyo_ref[:] = jnp.where(proc, new_key, key)
-        to_ref[:] = jnp.where(proc, new_t, t_in)
-        voxo_ref[:] = jnp.where(proc, new_vox, vox_ref[:])
-        aidxo_ref[:] = jnp.where(proc, new_aidx, aidx_ref[:])
-        ito_ref[:] = it_ref[:] + jnp.where(proc, st1 + st2, 0)
+            # ---- phase 1: voxel DDA inside each lane's own brick --------
+            # The composite fetch reads ARBITRARY lanes of its table rows,
+            # so a per-lane personalized table cannot work (a lane would
+            # read another ray's brick bits — found the hard way).  The
+            # KMAX bricks run sequentially, each with its own clean table;
+            # early-exit while loops make absent/finished bricks free.
+            kc = jnp.clip(keyw, 0, G * G * G - 1)
+            bxv = (kc // (G * G)).astype(f32) * 32.0
+            byv = ((kc // G) % G).astype(f32) * 32.0
+            bzv = (kc % G).astype(f32) * 32.0
+            px = ox + tw * dxc
+            py = oy + tw * dyc
+            pz = oz + tw * dzc
+            lx, ly, lz = px - bxv, py - byv, pz - bzv
+
+            hit1 = zi
+            fx, fy, fz = zi, zi, zi
+            t1 = zf
+            st1 = zi
+            for j in range(KMAX):
+                mj = keyw == cells[j]
+
+                def occ_probe(cx, cy, cz, rows=occ_rows_j[j]):
+                    word = _fetch(rows, cx * 32 + cy)
+                    return ((word >> cz) & 1) != 0
+
+                h, x, y, z, tt, _ins, st = _dda(
+                    lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                    32, f32(1.0), occ_probe, inner_cap, mj.astype(i32),
+                    early_exit)
+                hit1 = jnp.where(mj, h, hit1)
+                fx = jnp.where(mj, x, fx)
+                fy = jnp.where(mj, y, fy)
+                fz = jnp.where(mj, z, fz)
+                t1 = jnp.where(mj, tt, t1)
+                st1 = st1 + jnp.where(mj, st, 0)
+            hit1b = (hit1 != 0) & m_brick
+
+            # ---- phase 2: L0 march to the next occupied brick ------------
+            t2_0 = jnp.where(m_init, tw, tw + t1 + _EXIT_EPS)
+            p2x = ox + t2_0 * dxc
+            p2y = oy + t2_0 * dyc
+            p2z = oz + t2_0 * dzc
+            act2 = (m_brick & ~hit1b) | m_init
+            hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda(
+                p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                G, f32(32.0), l0_probe, l0_cap, act2.astype(i32),
+                early_exit)
+            hit2b = hit2 != 0
+            ins2b = ins2 != 0
+            mxw = _fetch(mx_rows, jnp.clip(b2x, 0, G - 1) * G
+                         + jnp.clip(b2y, 0, G - 1))
+            is_mixed = ((mxw >> jnp.clip(b2z, 0, G - 1)) & 1) != 0
+            cell2 = (b2x * G + b2y) * G + b2z
+
+            # uniform-solid brick: hit at entry face; voxel from entry
+            t_uni = t2_0 + t2
+            ux = jnp.clip((p2x + t2 * dxc).astype(i32), b2x * 32,
+                          b2x * 32 + 31)
+            uy = jnp.clip((p2y + t2 * dyc).astype(i32), b2y * 32,
+                          b2y * 32 + 31)
+            uz = jnp.clip((p2z + t2 * dzc).astype(i32), b2z * 32,
+                          b2z * 32 + 31)
+
+            proc = m_brick | m_init
+            u_hit = act2 & hit2b & ~is_mixed
+            m_stop = act2 & hit2b & is_mixed
+            stuck = act2 & ~hit2b & ins2b   # budget spent inside the grid
+            missed = act2 & ~hit2b & ~ins2b
+
+            # mixed-brick voxel hit (phase 1)
+            gvx = (kc // (G * G)) * 32 + fx
+            gvy = ((kc // G) % G) * 32 + fy
+            gvz = (kc % G) * 32 + fz
+            widx = (fx * 32 + fy) * 32 + fz
+
+            new_key = jnp.where(
+                hit1b | u_hit | missed, KEY_DONE,
+                jnp.where(m_stop, cell2,
+                          jnp.where(stuck, KEY_INIT, keyw)))
+            new_t = jnp.where(
+                hit1b, tw + t1,
+                jnp.where(u_hit, t_uni,
+                          jnp.where(m_stop, t2_0 + t2,
+                                    jnp.where(stuck, t2_0 + t2 + _EXIT_EPS,
+                                              jnp.where(missed, f32(0.0),
+                                                        tw)))))
+            new_vox = jnp.where(hit1b, (gvx * ws + gvy) * ws + gvz,
+                                jnp.where(u_hit, (ux * ws + uy) * ws + uz,
+                                          jnp.where(missed, i32(-1), voxw)))
+            new_aidx = jnp.where(hit1b, slot_v * 32768 + widx,
+                                 jnp.where(u_hit, i32(NM) * 32768 + cell2,
+                                           aidxw))
+            keyw = jnp.where(proc, new_key, keyw)
+            tw = jnp.where(proc, new_t, tw)
+            voxw = jnp.where(proc, new_vox, voxw)
+            aidxw = jnp.where(proc, new_aidx, aidxw)
+            itw = itw + jnp.where(proc, st1 + st2, 0)
+
+        keyo_ref[:] = keyw
+        to_ref[:] = tw
+        voxo_ref[:] = voxw
+        aidxo_ref[:] = aidxw
+        ito_ref[:] = itw
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "G", "NM", "inner_cap", "l0_cap", "early_exit", "interpret"))
+    "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont", "interpret"))
 def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
-                state, G, NM, inner_cap, l0_cap, early_exit, interpret):
+                state, G, NM, inner_cap, l0_cap, early_exit, interpret,
+                cont=1):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -428,7 +452,7 @@ def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     key = state[0]
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
-                             early_exit)
+                             early_exit, cont)
     ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c: (k, 0),
                             memory_space=pltpu.VMEM)
 
@@ -558,15 +582,16 @@ def _finish(ovox, oaidx, ot, oit, attr_comb, origins, dirs, ws, B):
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cone_trace=False, max_iterations=None, active=None,
                         max_rounds=24, interpret=None, early_exit=True,
-                        min_tiles=2, profile=None):
+                        min_tiles=2, cont=3, profile=None):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
     (``max_depth``/``cone_trace``/``max_iterations`` accepted for driver
     compatibility; this path always resolves to the finest leaf).  The
     round loop runs on the host with one scalar sync per round (sync RTT
-    is ~ms; compaction needs the count — see PERF_NOTES.md).  ``profile``
-    (optional dict) collects per-round active counts.
+    is ~ms; compaction needs the count — see PERF_NOTES.md).  ``cont``
+    = brick crossings attempted per ray per round (kernel unroll).
+    ``profile`` (optional dict) collects per-round active counts.
     """
     B = origins.shape[0]
     G = wscene.grid_size
@@ -617,7 +642,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
-                            early_exit=early_exit, interpret=interpret)
+                            early_exit=early_exit, interpret=interpret,
+                            cont=cont)
 
     ovox, oaidx, ot, oit = _harvest(state[7], state[8], state[9], state[10],
                                     ovox, oaidx, ot, oit, state[11])

@@ -500,9 +500,14 @@ def _sort_stage(state, brick_slot):
     (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
     srt = jax.lax.sort((key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid),
                        num_keys=1)
-    key_s = srt[0]
-    T = key_s.shape[0] // TILE
-    kt = key_s.reshape(T, TILE)
+    tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
+    return srt, tile_slot, tile_cell, n_act
+
+
+def _distinct_tables(kt, brick_slot):
+    """First KMAX distinct cells per tile row of ``kt`` (rows must be
+    sorted so equal cells are adjacent) + active count."""
+    T = kt.shape[0]
     valid = (kt >= 0) & (kt < KEY_DONE)
     ch = jnp.concatenate(
         [jnp.ones((T, 1), bool), kt[:, 1:] != kt[:, :-1]], axis=1)
@@ -512,8 +517,25 @@ def _sort_stage(state, brick_slot):
     tile_cell = jnp.stack(cells, axis=1)
     tile_slot = jnp.where(tile_cell >= 0,
                           brick_slot[jnp.maximum(tile_cell, 0)], -1)
-    n_act = jnp.sum(key_s != KEY_DONE)
-    return srt, tile_slot, tile_cell, n_act
+    n_act = jnp.sum((kt != KEY_DONE).astype(i32))
+    return tile_slot, tile_cell, n_act
+
+
+def _tile_tables(key, brick_slot):
+    """Tables for the globally-sorted layout (tiles span few runs)."""
+    return _distinct_tables(key.reshape(-1, TILE), brick_slot)
+
+
+@jax.jit
+def _tile_tables_local(key, brick_slot):
+    """Tables for the UNSORTED pixel layout: per-tile sort of the keys
+    only (a batched 1024-wide sort, not the 12-operand global sort).
+    Exploits primary/bounce-ray coherence — a 32x32-pixel tile's rays
+    stop in a handful of bricks — so round 1 skips the 24 ms full-size
+    multi-payload sort; lanes beyond the KMAX candidate cells punt to
+    the sorted rounds."""
+    kt = jnp.sort(key.reshape(-1, TILE), axis=1)
+    return _distinct_tables(kt, brick_slot)
 
 
 @jax.jit
@@ -582,7 +604,8 @@ def _finish(ovox, oaidx, ot, oit, attr_comb, origins, dirs, ws, B):
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cone_trace=False, max_iterations=None, active=None,
                         max_rounds=24, interpret=None, early_exit=True,
-                        min_tiles=2, cont=3, profile=None):
+                        min_tiles=2, cont=1, local_round1=True,
+                        defer_sync=True, profile=None):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -590,7 +613,13 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     compatibility; this path always resolves to the finest leaf).  The
     round loop runs on the host with one scalar sync per round (sync RTT
     is ~ms; compaction needs the count — see PERF_NOTES.md).  ``cont``
-    = brick crossings attempted per ray per round (kernel unroll).
+    = brick crossings attempted per ray per round (kernel unroll; >1 did
+    not help on terrain and cont=4 took Mosaic 19 min to compile — keep
+    1 unless re-measured).  ``local_round1`` runs round 1 from
+    pixel-coherent tile tables instead of a full sort.  ``defer_sync``
+    reads each round's active count one round late (counts only
+    decrease, so the stale bound is safe for compaction) — hides the
+    per-round device->host RTT behind the next round's compute.
     ``profile`` (optional dict) collects per-round active counts.
     """
     B = origins.shape[0]
@@ -623,13 +652,34 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
 
+    if local_round1:
+        # round 1 without the global sort: pixel-coherent tile tables
+        tile_slot, tile_cell, _n = _tile_tables_local(state[0],
+                                                      wscene.brick_slot)
+        state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
+                            wscene.l0_mixed, wscene.occ_words, state, G=G,
+                            NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
+                            early_exit=early_exit, interpret=interpret,
+                            cont=cont)
+        if profile is not None:
+            profile["rounds"].append(
+                dict(r="1L", size=S,
+                     active=int(jnp.sum(state[0] != KEY_DONE))))
+
+    pending = None   # deferred active-count device scalar
     for r in range(1, max_rounds + 1):
         state, tile_slot, tile_cell, n_act = _sort_stage(state,
                                                          wscene.brick_slot)
-        n = int(n_act)   # host sync — drives compaction
+        if defer_sync:
+            # block on the PREVIOUS round's count (already computed —
+            # near-zero wait); it upper-bounds the current actives
+            n = int(pending) if pending is not None else S
+            pending = n_act
+        else:
+            n = int(n_act)   # host sync — drives compaction
         if profile is not None:
             profile["rounds"].append(dict(r=r, size=state[0].shape[0],
-                                          active=n))
+                                          active=int(n_act), bound=n))
         if n == 0:
             break
         while (tile_slot.shape[0] + 1) // 2 >= max(

@@ -440,11 +440,11 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
         ito_ref[:] = itw
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont", "interpret"))
-def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
-                state, G, NM, inner_cap, l0_cap, early_exit, interpret,
-                cont=1):
+def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
+                 state, G, NM, inner_cap, l0_cap, early_exit, interpret,
+                 cont=1):
+    """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
+    _round_fused)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -487,6 +487,37 @@ def _run_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     # state layout: key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid
     return (key2, state[1], state[2], state[3], state[4], state[5],
             state[6], t2, vox2, aidx2, it2, state[11])
+
+
+_run_kernel = functools.partial(jax.jit, static_argnames=(
+    "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
+    "interpret"))(_call_kernel)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
+    "interpret"), donate_argnums=(0, 5, 6, 7, 8))
+def _round_fused(state, brick_slot, l0_occ, l0_mixed, occ_words,
+                 ovox, oaidx, ot, oit, halvings, G, NM, inner_cap, l0_cap,
+                 early_exit, interpret, cont=1):
+    """One full wavefront round as a single dispatch: sort + tile tables
+    + ``halvings`` compaction slices (tails harvested) + the kernel.
+    One host call per round — per-dispatch tunnel overhead was ~20 ms
+    and dominated the 15+ small tail rounds."""
+    srt, tile_slot, tile_cell, n_act = _sort_stage(state, brick_slot)
+    for _ in range(halvings):
+        T = tile_slot.shape[0]
+        T2 = (T + 1) // 2
+        tail = tuple(a[T2 * TILE:] for a in srt)
+        srt = tuple(a[:T2 * TILE] for a in srt)
+        tile_slot = tile_slot[:T2]
+        tile_cell = tile_cell[:T2]
+        ovox, oaidx, ot, oit = _harvest(tail[7], tail[8], tail[9], tail[10],
+                                        ovox, oaidx, ot, oit, tail[11])
+    state2 = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
+                          srt, G, NM, inner_cap, l0_cap, early_exit,
+                          interpret, cont)
+    return state2, (ovox, oaidx, ot, oit), n_act
 
 
 # -------------------------------------------------------------------- driver
@@ -668,32 +699,33 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
 
     pending = None   # deferred active-count device scalar
     for r in range(1, max_rounds + 1):
-        state, tile_slot, tile_cell, n_act = _sort_stage(state,
-                                                         wscene.brick_slot)
         if defer_sync:
             # block on the PREVIOUS round's count (already computed —
             # near-zero wait); it upper-bounds the current actives
             n = int(pending) if pending is not None else S
-            pending = n_act
         else:
-            n = int(n_act)   # host sync — drives compaction
+            n = int(pending) if pending is not None else S
+        if n == 0:
+            break
+        # static halving count for this round's fused dispatch
+        T = state[0].shape[0] // TILE
+        halvings = 0
+        while (T + 1) // 2 >= max(-(-n // TILE), min_tiles) \
+                and T > min_tiles:
+            T = (T + 1) // 2
+            halvings += 1
+        state, bufs, n_act = _round_fused(
+            state, wscene.brick_slot, wscene.l0_occ, wscene.l0_mixed,
+            wscene.occ_words, ovox, oaidx, ot, oit, halvings=halvings,
+            G=G, NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
+            early_exit=early_exit, interpret=interpret, cont=cont)
+        ovox, oaidx, ot, oit = bufs
+        pending = n_act
+        if not defer_sync:
+            pending = jnp.asarray(int(n_act), i32)  # sync now
         if profile is not None:
             profile["rounds"].append(dict(r=r, size=state[0].shape[0],
                                           active=int(n_act), bound=n))
-        if n == 0:
-            break
-        while (tile_slot.shape[0] + 1) // 2 >= max(
-                -(-n // TILE), min_tiles) and tile_slot.shape[0] > min_tiles:
-            state, tail, tile_slot, tile_cell = _slice_half(
-                state, tile_slot, tile_cell)
-            ovox, oaidx, ot, oit = _harvest(tail[7], tail[8], tail[9],
-                                            tail[10], ovox, oaidx, ot, oit,
-                                            tail[11])
-        state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
-                            wscene.l0_mixed, wscene.occ_words, state, G=G,
-                            NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
-                            early_exit=early_exit, interpret=interpret,
-                            cont=cont)
 
     ovox, oaidx, ot, oit = _harvest(state[7], state[8], state[9], state[10],
                                     ovox, oaidx, ot, oit, state[11])

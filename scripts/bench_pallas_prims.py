@@ -30,6 +30,18 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".bench_cache", "pallas_prims.jsonl")
 
 
+
+def _err(e):
+    """Error string with the failing source location — a bare Mosaic
+    AssertionError row is undebuggable without it (round-1 lesson)."""
+    import traceback
+    frames = traceback.extract_tb(e.__traceback__)
+    loc = "?"
+    for fr in reversed(frames):
+        loc = f"{fr.filename.rsplit('/', 1)[-1]}:{fr.lineno}"
+        break
+    return f"{type(e).__name__}: {str(e)[:200]} @ {loc}"
+
 def main():
     import jax
 
@@ -97,7 +109,7 @@ def main():
                 rec(kind=name, V=V, K=K, us=round(dt * 1e6, 2),
                     g_gather_s=round(8 * 128 * K / dt / 1e9, 3))
             except Exception as e:
-                rec(kind=name, V=V, error=f"{type(e).__name__}: {str(e)[:160]}")
+                rec(kind=name, V=V, error=_err(e))
 
     # ---------------- P7: coarse 64^3 bit-DDA in VMEM ----------------
     # occupancy grid 64^3 bits: word (x,y) holds z-bits packed 2 words/z64.
@@ -194,7 +206,7 @@ def main():
             g_step_s=round(B * STEPS / dt / 1e9, 2),
             hits=int(jnp.sum(hit)))
     except Exception as e:
-        rec(kind="p7_coarse_dda", error=f"{type(e).__name__}: {str(e)[:200]}")
+        rec(kind="p7_coarse_dda", error=_err(e))
 
     # ---------------- P8: dynamic HBM DMA chain ----------------
     try:
@@ -232,7 +244,7 @@ def main():
         rec(kind="p8_dma_chain", K=KD, us=round(dt * 1e6, 1),
             us_per_dma=round(dt * 1e6 / KD, 2))
     except Exception as e:
-        rec(kind="p8_dma_chain", error=f"{type(e).__name__}: {str(e)[:200]}")
+        rec(kind="p8_dma_chain", error=_err(e))
 
     out_f.close()
 

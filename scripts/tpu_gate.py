@@ -1,0 +1,105 @@
+"""Compiled-Pallas regression gate — run on the TPU each round.
+
+Re-runs the tests/test_wavefront.py comparison COMPILED (interpret=False)
+against the XLA brick reference on the cached 1024^3 bench scene, plus a
+small camera-mode + static-schedule replay check, and appends one JSON
+line per check to .bench_cache/gate.jsonl.  Mosaic lowering differences
+(vs the interpret mode the CPU suite uses) are exactly what this catches.
+
+Usage: drop into .tpu_jobs/ as a job (exec'd by scripts/tpu_worker.py,
+which provides REPO in the namespace), or run standalone on a TPU host:
+    python scripts/tpu_gate.py
+"""
+import json
+import os
+import sys
+import time
+
+if "REPO" not in dir():
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+for _m in [m for m in list(sys.modules) if m.startswith("svo_raytracer_tpu")]:
+    del sys.modules[_m]
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from svo_raytracer_tpu.ops import brick_scene, brick_trace, shade  # noqa
+from svo_raytracer_tpu.ops import wavefront as wf  # noqa: E402
+from svo_raytracer_tpu.utils.camera import Camera  # noqa: E402
+
+GATE = os.path.join(REPO, ".bench_cache", "gate.jsonl")
+
+
+def emit(row):
+    row["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    print(json.dumps(row), flush=True)
+    with open(GATE, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def main():
+    cache = os.path.join(REPO, ".bench_cache", "bricks_1024.npz")
+    b = np.load(cache)
+    scene = brick_scene.BrickScene(
+        world_size=1024, grid_size=32, n_mixed=int(b["n_mixed"]),
+        l0_table=b["l0_table"], brick_slot=b["brick_slot"],
+        brick_attr=b["brick_attr"], occ_words=b["occ_words"],
+        attrs=b["attrs"])
+    W = wf.prepare(scene)
+    dscene = scene.to_device()
+
+    rs = np.random.RandomState(31)
+    n = 8192
+    o = (rs.rand(n, 3) * 0.9 + 1.05).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = brick_trace.intersect_bricks(dscene, jnp.asarray(o),
+                                       jnp.asarray(d))
+    t0 = time.time()
+    got = wf.intersect_wavefront(W, jnp.asarray(o), jnp.asarray(d),
+                                 interpret=False)
+    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+    agree = float((rh == gh).mean())
+    both = rh & gh
+    tok = float((np.abs(np.asarray(ref.t) - np.asarray(got.t))[both]
+                 <= 2e-4).mean()) if both.any() else 1.0
+    vok = float((np.asarray(ref.value)[both]
+                 == np.asarray(got.value)[both]).mean()) if both.any() else 1.0
+    ok = agree >= 0.995 and tok >= 0.98 and vok >= 0.98
+    emit(dict(kind="wavefront_vs_bricks_compiled", ok=bool(ok),
+              hit_agree=round(agree, 5), t_ok=round(tok, 5),
+              v_ok=round(vok, 5), nhit=int(both.sum()),
+              s=round(time.time() - t0, 1)))
+
+    # camera mode + static replay at a small resolution
+    cam = Camera(pos=np.array([1.5, 1.6, 1.85]))
+    cam.rotate(-0.35, 0.4)
+    cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+    WD, HT = 256, 128
+    du = shade.pixel_dirs_device(cam5, WD, HT)
+    dirs = du / jnp.linalg.norm(du, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(cam5[0], dirs.shape)
+    prof = {}
+    r_dyn = wf.intersect_wavefront(W, origins, dirs, camera=(cam5, WD, HT),
+                                   interpret=False, profile=prof)
+    r_exp = wf.intersect_wavefront(W, origins, dirs, interpret=False)
+    r_st, n_left = wf.intersect_wavefront(W, origins, dirs,
+                                          camera=(cam5, WD, HT),
+                                          interpret=False,
+                                          schedule=prof["schedule"])
+    cam_agree = float((np.asarray(r_dyn.hit) == np.asarray(r_exp.hit))
+                      .mean())
+    st_agree = float((np.asarray(r_st.hit) == np.asarray(r_dyn.hit)).mean())
+    ok2 = cam_agree >= 0.999 and st_agree == 1.0 and int(n_left) == 0
+    emit(dict(kind="camera_and_static_compiled", ok=bool(ok2),
+              cam_agree=round(cam_agree, 5), static_agree=round(st_agree, 5),
+              n_left=int(n_left)))
+    if not (ok and ok2):
+        raise AssertionError("gate FAILED — see gate.jsonl")
+    print("gate OK")
+
+
+main()

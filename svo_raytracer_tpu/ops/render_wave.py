@@ -42,6 +42,39 @@ def make_isect(wscene, max_rounds=24, interpret=None, min_tiles=64,
                              min_tiles=min_tiles, early_exit=early_exit)
 
 
+# Static-schedule cache: (id(wscene), seg tag, B) -> round/compaction
+# schedule recorded by the last dynamic trace of that segment.  Replayed
+# traces run as ONE jitted dispatch (wavefront module docstring); a
+# replay that cuts live rays (n_left > 0: the camera moved too far from
+# the recording frame) falls back to a dynamic trace and re-records.
+_SCHED: dict = {}
+
+
+def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
+            **kw):
+    # camera-mode segments re-trace identical rays every frame (the
+    # schedule is exact); bounce/shadow rays vary with the frame RNG, so
+    # record those with 2x compaction slack, escalating on stale replays
+    slack = 1 if camera is not None else 2
+    key = (id(wscene), wscene.n_mixed, tag, o.shape[0])
+    cached = _SCHED.get(key) if use_static else None
+    if cached is not None:
+        sched, slack = cached
+        res, n_left = wavefront.intersect_wavefront(
+            wscene, o, d, active=active, camera=camera, schedule=sched, **kw)
+        if int(n_left) == 0:
+            return res
+        del _SCHED[key]  # stale: fall through to dynamic + re-record
+        slack = min(slack * 2, 8)
+    prof = {}
+    res = wavefront.intersect_wavefront(
+        wscene, o, d, active=active, camera=camera, profile=prof,
+        schedule_slack=slack, **kw)
+    if use_static:
+        _SCHED[key] = (prof["schedule"], slack)
+    return res
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _frame_rays(cam5, width, height):
     dirs_un = shade.pixel_dirs_device(cam5, width, height)
@@ -129,19 +162,28 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
                            rng_key=None, mirror_values=(),
                            max_depth=C.MAX_DEPTH, max_iterations=None,
                            max_rounds=24, interpret=None, min_tiles=64,
-                           early_exit=True):
+                           early_exit=True, use_static=True):
     """Render one frame through the wavefront engine.
 
     Returns (color (H,W,3), depth (H,W), iters (H,W)); row 0 is the GL
     bottom scanline like shade.render_image.  ``max_depth`` is accepted
     for signature parity but the brick engine always resolves finest
     leaves (see ops/brick_trace.py docstring).
+
+    The first frame of a (scene, resolution) runs the dynamic wavefront
+    loop and records each traversal segment's compaction schedule;
+    later frames replay each segment as a single jitted dispatch
+    (``use_static``).  Primary segments additionally use camera mode —
+    their sort state carries 5 operands instead of 12 (see
+    ops/wavefront.py docstring).
     """
     del max_depth, max_iterations
-    isect = make_isect(wscene, max_rounds=max_rounds, interpret=interpret,
-                       min_tiles=min_tiles, early_exit=early_exit)
+    kw = dict(max_rounds=max_rounds, interpret=interpret,
+              min_tiles=min_tiles, early_exit=early_exit,
+              use_static=use_static)
     cam5 = jnp.asarray(cam5, f32)
     origins, dirs, px, py = _frame_rays(cam5, width, height)
+    camera = (cam5, width, height)
 
     if render_mode == 0:
         if rng_mode != "glsl":
@@ -151,23 +193,26 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             px, py, jnp.asarray(frame_number, f32), dirs)
         o, d = origins, dirs
         for seg in range(gi_bounces + 1):
-            res = isect(o, d, active=active)
+            if seg == 0:
+                res = _traced(wscene, o, d, "prim", camera=camera, **kw)
+            else:
+                res = _traced(wscene, o, d, f"gi{seg}", active=active, **kw)
             accum, mask, depth, iters_out, active, o, d = _gi_update(
                 seg == 0, tuple(mirror_values), accum, mask, depth,
                 iters_out, active, o, d, r, res)
         col = accum
         it = iters_out
     elif render_mode == 1:
-        res = isect(origins, dirs)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
         col, depth, it = _heat_post(res)
     elif render_mode == 2:
-        res = isect(origins, dirs)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
         so, sd, sa = _shadow_rays(res)
-        sh = isect(so, sd, active=sa)
+        sh = _traced(wscene, so, sd, "shadow", active=sa, **kw)
         col, depth, it = shade.direct_shade_math(dirs, res, sh,
                                                  jnp.zeros_like(res.t))
     elif render_mode == 3:
-        res = isect(origins, dirs)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
         col, depth, it = _norm_post(res)
     else:
         raise ValueError(f"unknown render mode {render_mode}")

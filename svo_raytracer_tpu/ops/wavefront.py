@@ -1,4 +1,4 @@
-"""Brick-wavefront traversal v2 — the production Pallas TPU path.
+"""Brick-wavefront traversal v3 — the production Pallas TPU path.
 
 Re-expresses the reference's per-pixel octree walk
 (/root/reference/src/shaders/svotrace.comp:211-432) as a sorted
@@ -17,17 +17,32 @@ the ray state *stays in sorted order* across rounds:
     taken whenever the active count drops below half the current size;
   * a ray tile (8,128) may span up to KMAX distinct bricks; the kernel
     receives all KMAX occupancy blocks (4 KB each, pipelined HBM->VMEM
-    by the BlockSpec index maps from scalar-prefetched slot ids) and
-    *select-merges* them once into per-lane personalized table rows, so
-    the in-brick DDA costs the same as a single-brick tile;
+    by the BlockSpec index maps from scalar-prefetched slot ids);
   * the L0 brick-grid march to the next occupied brick runs in the same
     kernel against resident (8,128) bit tables, including the
-    mixed-vs-uniform classification (v1 paid two ~20 ms XLA gathers per
-    round for that); uniform-solid bricks resolve to hits in-kernel;
+    mixed-vs-uniform classification; uniform-solid bricks resolve to
+    hits in-kernel;
   * per-voxel hit attributes resolve in ONE post-pass XLA gather per
     segment (hits only), not per round;
   * both DDA phases are early-exit ``lax.while_loop``s, so the kernel
     cost tracks actual occupancy instead of fixed step budgets.
+
+v3 (this file) attacks the remaining glue, measured in r2 to be the
+12-operand 2 M-ray sort (~25 ms/round, .tpu_jobs/05x) and the per-round
+host dispatch through the axon tunnel (~20 ms each, 19 rounds):
+
+  * the hit record rides the sort as ONE packed int32 (``pack`` =
+    uniform-flag<<30 | brick-cell<<15 | voxel-within-brick) instead of
+    two words (vox, aidx); both decode in the post-pass;
+  * camera mode: primary rays re-derive their direction in-kernel from
+    the ray id + 15 camera scalars (SMEM prefetch), exactly mirroring
+    shade.pixel_dirs_rows (svotrace.comp:662-664), so the sort carries
+    (key, t, pack, it, rid) = 5 operands instead of 12;
+  * static-schedule replay: a dynamic trace records its per-round
+    compaction schedule; subsequent traces replay the whole round loop
+    inside ONE jit (zero host round-trips per trace).  Replay is guarded
+    — rays still pending after the replayed rounds are detected by the
+    caller (``pack == PACK_PEND``) and the trace falls back to dynamic.
 
 Scene-side it needs only the BrickScene plus two derived bit tables
 (:func:`prepare`).  Oracle: ops/brick_trace.intersect_bricks (tested in
@@ -54,7 +69,13 @@ TILE = 8 * LANES            # rays per grid step
 KMAX = 4                    # distinct bricks a ray tile may span per round
 KEY_DONE = np.int32(1 << 30)
 KEY_INIT = np.int32(-2)     # ray not yet L0-marched (round 0 / stuck)
+PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
+PACK_MISS = np.int32(-1)    # ray retired without a hit
 _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
+
+# state tuple layouts (key first; (t, pack, it, rid) always last):
+#   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
+#   camera:   (key, t, pack, it, rid)   + 16 f32 camera scalars in SMEM
 
 
 # --------------------------------------------------------------------- scene
@@ -77,6 +98,7 @@ class WaveScene:
     brick_slot: Any  # (G^3,) i32
     occ_words: Any   # (capacity, 8, 128) i32
     attr_comb: Any   # (capacity*32768 + G^3,) i32 — mixed attrs ++ uniform
+    slot_cell: Any = None  # (capacity,) i32 — mixed slot -> L0 cell (G>32)
 
 
 def _l0_mixed_table(scene):
@@ -93,19 +115,28 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
     tunnel is ~1 MB/s (CLAUDE.md) — the 600 MB attrs would take minutes.
     The returned WaveScene holds device arrays.
     """
-    if scene.grid_size > 32:
-        raise ValueError("wavefront L0 grid is limited to 32^3 "
-                         f"(world <= 1024^3); got G={scene.grid_size}")
+    if scene.grid_size > 64:
+        raise ValueError("wavefront L0 grid is limited to 64^3 "
+                         f"(world <= 2048^3); got G={scene.grid_size}")
     G = scene.grid_size
     if capacity is None:
         capacity = scene.n_mixed + max(64, scene.n_mixed // 8)
     assert capacity >= scene.n_mixed
+    if G > 32:
+        # the packed hit record stores the mixed SLOT in 15 bits (the
+        # cell id no longer fits beside widx — module docstring)
+        assert capacity < (1 << 15), (
+            f"G={G} worlds support < 32768 mixed bricks; {capacity}")
     nm = scene.occ_words.shape[0]
     occ = np.zeros((capacity, 8, 128), np.int32)
     occ[:nm] = np.asarray(scene.occ_words)
     attr_comb = np.zeros(capacity * 32768 + G * G * G, np.int32)
     attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
     attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr, np.int32)
+    slot_np = np.asarray(scene.brick_slot)
+    slot_cell = np.zeros(capacity, np.int32)
+    cells = np.nonzero(slot_np >= 0)[0]
+    slot_cell[slot_np[cells]] = cells.astype(np.int32)
     return WaveScene(
         world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
         capacity=capacity,
@@ -114,19 +145,22 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
         brick_slot=jnp.asarray(scene.brick_slot, i32),
         occ_words=jnp.asarray(occ, i32),
         attr_comb=jnp.asarray(attr_comb, i32),
+        slot_cell=jnp.asarray(slot_cell, i32),
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("cap",))
-def _apply_patch_dev(attr_comb, occ_words, brick_slot, upd_slots, attr_rows,
-                     occ_rows, cells, cell_attr, cell_slot, cap):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("cap",))
+def _apply_patch_dev(attr_comb, occ_words, brick_slot, slot_cell, upd_slots,
+                     attr_rows, occ_rows, cells, cell_attr, cell_slot, cap):
     head = attr_comb[:cap * 32768].reshape(cap, 32768)
     head = head.at[upd_slots].set(attr_rows)
     tail = attr_comb[cap * 32768:].at[cells].set(cell_attr)
     attr_comb = jnp.concatenate([head.reshape(-1), tail])
     occ_words = occ_words.at[upd_slots].set(occ_rows)
     brick_slot = brick_slot.at[cells].set(cell_slot)
-    return attr_comb, occ_words, brick_slot
+    slot_cell = slot_cell.at[cell_slot].set(cells, mode="drop")
+    return attr_comb, occ_words, brick_slot, slot_cell
 
 
 def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
@@ -140,8 +174,8 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
         return prepare(scene, capacity=patch.n_mixed
                        + max(64, patch.n_mixed // 8))
     p = len(patch.upd_slots)
-    attr_comb, occ_words, brick_slot = _apply_patch_dev(
-        ws.attr_comb, ws.occ_words, ws.brick_slot,
+    attr_comb, occ_words, brick_slot, slot_cell = _apply_patch_dev(
+        ws.attr_comb, ws.occ_words, ws.brick_slot, ws.slot_cell,
         jnp.asarray(patch.upd_slots, i32),
         jnp.asarray(patch.attr_rows.reshape(p, 32768), i32),
         jnp.asarray(patch.occ_rows, i32),
@@ -152,7 +186,8 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
         n_mixed=patch.n_mixed, capacity=ws.capacity,
         l0_occ=jnp.asarray(scene.l0_table, i32),
         l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
-        brick_slot=brick_slot, occ_words=occ_words, attr_comb=attr_comb)
+        brick_slot=brick_slot, occ_words=occ_words, attr_comb=attr_comb,
+        slot_cell=slot_cell)
 
 
 # -------------------------------------------------------------------- kernel
@@ -261,32 +296,46 @@ def _bcast_rows(block, n):
             for r in range(n)]
 
 
-def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
-               tslot_ref, tcell_ref, l0_ref, mx_ref, *refs):
+def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
-    refs = occ_0..occ_{KMAX-1}, key, ox, oy, oz, dx, dy, dz, t, vox,
-    aidx, it  ||  keyo, to, voxo, aidxo, ito.
+    explicit mode (cam_dims=None) args:
+      tslot, tcell, l0, mx, occ_0..occ_{KMAX-1},
+      key, ox, oy, oz, dx, dy, dz, t, pack, it || keyo, to, packo, ito
+    camera mode (cam_dims=(W, H, world_size)) args:
+      tslot, tcell, cam16, l0, mx, occ_0..occ_{KMAX-1},
+      key, t, pack, it, rid || keyo, to, packo, ito
+    — the ray origin/direction are re-derived per lane from rid + the 15
+    camera scalars, mirroring shade.pixel_dirs_rows + _init_state.
 
     ``cont`` unrolls the {brick DDA, L0 march} pair: a ray keeps marching
     this round while its next brick stays within the tile's KMAX
-    candidates, so grazing rays cross several surface bricks per sort
-    (r2 profile: one brick/round took 18 rounds at 1080p).
+    candidates (measured r2: no gain on terrain, huge Mosaic compile
+    cost at cont=4 — keep 1 unless re-measured).
     """
     import jax.experimental.pallas as pl  # local: keeps CPU-importable
 
-    occ_refs = refs[:KMAX]
-    (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
-     vox_ref, aidx_ref, it_ref) = refs[KMAX:KMAX + 11]
-    keyo_ref, to_ref, voxo_ref, aidxo_ref, ito_ref = refs[KMAX + 11:]
+    if cam_dims is None:
+        tslot_ref, tcell_ref, l0_ref, mx_ref = args[:4]
+        refs = args[4:]
+        occ_refs = refs[:KMAX]
+        (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
+         pack_ref, it_ref) = refs[KMAX:KMAX + 10]
+        keyo_ref, to_ref, packo_ref, ito_ref = refs[KMAX + 10:]
+    else:
+        W, H, ws_world = cam_dims
+        tslot_ref, tcell_ref, cam_ref, l0_ref, mx_ref = args[:5]
+        refs = args[5:]
+        occ_refs = refs[:KMAX]
+        key_ref, t_ref, pack_ref, it_ref, rid_ref = refs[KMAX:KMAX + 5]
+        keyo_ref, to_ref, packo_ref, ito_ref = refs[KMAX + 5:]
 
     k = pl.program_id(0)
     key0 = key_ref[:]
     # defaults: pass-through (inactive / punted lanes keep their state)
     keyo_ref[:] = key0
     to_ref[:] = t_ref[:]
-    voxo_ref[:] = vox_ref[:]
-    aidxo_ref[:] = aidx_ref[:]
+    packo_ref[:] = pack_ref[:]
     ito_ref[:] = it_ref[:]
 
     # tile tables are FLAT (T*KMAX,): SMEM pads the trailing dim to 128
@@ -300,8 +349,30 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
 
     @pl.when(jnp.any(in_cells0 | (key0 == KEY_INIT)))
     def _tile():
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        if cam_dims is None:
+            ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+            dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        else:
+            # per-lane primary ray from rid (matches shade.pixel_dirs_rows
+            # + render_wave._frame_rays + _init_state exactly, op-for-op)
+            rid = rid_ref[:]
+            pyi = rid // W
+            pxi = rid - pyi * W
+            u = (pxi.astype(f32) + f32(0.5)) / f32(W)
+            v = (pyi.astype(f32) + f32(0.5)) / f32(H)
+            c = [cam_ref[j] for j in range(15)]
+            dun = []
+            for ax in range(3):
+                left = c[3 + ax] + (c[6 + ax] - c[3 + ax]) * v
+                right = c[9 + ax] + (c[12 + ax] - c[9 + ax]) * v
+                dun.append(left + (right - left) * u)
+            nrm = jnp.sqrt(dun[0] * dun[0] + dun[1] * dun[1]
+                           + dun[2] * dun[2])
+            dx, dy, dz = dun[0] / nrm, dun[1] / nrm, dun[2] / nrm
+            zf0 = jnp.zeros(key0.shape, f32)
+            ox = zf0 + (c[0] - f32(1.0)) * f32(ws_world)
+            oy = zf0 + (c[1] - f32(1.0)) * f32(ws_world)
+            oz = zf0 + (c[2] - f32(1.0)) * f32(ws_world)
         eps = np.float32(1e-12)
         dxc = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
@@ -311,9 +382,14 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
         mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
         occ_rows_j = [_bcast_rows(occ_refs[j][0], 8) for j in range(KMAX)]
 
+        ZW = -(-G // 32)  # z-words per L0 column (2 when G=64)
+
         def l0_probe(cx, cy, cz):
-            word = _fetch(l0_rows, cx * G + cy)
-            return ((word >> cz) & 1) != 0
+            if ZW == 1:
+                word = _fetch(l0_rows, cx * G + cy)
+                return ((word >> cz) & 1) != 0
+            word = _fetch(l0_rows, (cx * G + cy) * ZW + (cz >> 5))
+            return ((word >> (cz & 31)) & 1) != 0
 
         ws = G * 32
         zi = jnp.zeros(key0.shape, i32)
@@ -321,8 +397,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
 
         keyw = key0
         tw = t_ref[:]
-        voxw = vox_ref[:]
-        aidxw = aidx_ref[:]
+        packw = pack_ref[:]
         itw = it_ref[:]
 
         for _c in range(cont):
@@ -384,19 +459,22 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
                 early_exit)
             hit2b = hit2 != 0
             ins2b = ins2 != 0
-            mxw = _fetch(mx_rows, jnp.clip(b2x, 0, G - 1) * G
-                         + jnp.clip(b2y, 0, G - 1))
-            is_mixed = ((mxw >> jnp.clip(b2z, 0, G - 1)) & 1) != 0
+            c2x = jnp.clip(b2x, 0, G - 1)
+            c2y = jnp.clip(b2y, 0, G - 1)
+            c2z = jnp.clip(b2z, 0, G - 1)
+            if ZW == 1:
+                mxw = _fetch(mx_rows, c2x * G + c2y)
+                is_mixed = ((mxw >> c2z) & 1) != 0
+            else:
+                mxw = _fetch(mx_rows, (c2x * G + c2y) * ZW + (c2z >> 5))
+                is_mixed = ((mxw >> (c2z & 31)) & 1) != 0
             cell2 = (b2x * G + b2y) * G + b2z
 
             # uniform-solid brick: hit at entry face; voxel from entry
             t_uni = t2_0 + t2
-            ux = jnp.clip((p2x + t2 * dxc).astype(i32), b2x * 32,
-                          b2x * 32 + 31)
-            uy = jnp.clip((p2y + t2 * dyc).astype(i32), b2y * 32,
-                          b2y * 32 + 31)
-            uz = jnp.clip((p2z + t2 * dzc).astype(i32), b2z * 32,
-                          b2z * 32 + 31)
+            ux = jnp.clip((p2x + t2 * dxc).astype(i32) - b2x * 32, 0, 31)
+            uy = jnp.clip((p2y + t2 * dyc).astype(i32) - b2y * 32, 0, 31)
+            uz = jnp.clip((p2z + t2 * dzc).astype(i32) - b2z * 32, 0, 31)
 
             proc = m_brick | m_init
             u_hit = act2 & hit2b & ~is_mixed
@@ -404,11 +482,19 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
             stuck = act2 & ~hit2b & ins2b   # budget spent inside the grid
             missed = act2 & ~hit2b & ~ins2b
 
-            # mixed-brick voxel hit (phase 1)
-            gvx = (kc // (G * G)) * 32 + fx
-            gvy = ((kc // G) % G) * 32 + fy
-            gvz = (kc % G) * 32 + fz
-            widx = (fx * 32 + fy) * 32 + fz
+            # packed hit record (module docstring).  G<=32: exact —
+            # uniform<<30 | cell<<15 | voxel-in-brick.  G>32 the cell id
+            # no longer fits beside widx: mixed hits store the SLOT
+            # (decoded via slot_cell); uniform hits store the cell alone
+            # and the entry voxel is recomputed from t in _finish.
+            widx1 = (fx * 32 + fy) * 32 + fz
+            widx2 = (ux * 32 + uy) * 32 + uz
+            if G <= 32:
+                pack1 = (kc << 15) | widx1
+                pack2 = (i32(1) << 30) | (cell2 << 15) | widx2
+            else:
+                pack1 = (slot_v << 15) | widx1
+                pack2 = (i32(1) << 30) | cell2
 
             new_key = jnp.where(
                 hit1b | u_hit | missed, KEY_DONE,
@@ -421,30 +507,26 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont,
                                     jnp.where(stuck, t2_0 + t2 + _EXIT_EPS,
                                               jnp.where(missed, f32(0.0),
                                                         tw)))))
-            new_vox = jnp.where(hit1b, (gvx * ws + gvy) * ws + gvz,
-                                jnp.where(u_hit, (ux * ws + uy) * ws + uz,
-                                          jnp.where(missed, i32(-1), voxw)))
-            new_aidx = jnp.where(hit1b, slot_v * 32768 + widx,
-                                 jnp.where(u_hit, i32(NM) * 32768 + cell2,
-                                           aidxw))
+            new_pack = jnp.where(hit1b, pack1,
+                                 jnp.where(u_hit, pack2,
+                                           jnp.where(missed, PACK_MISS,
+                                                     packw)))
             keyw = jnp.where(proc, new_key, keyw)
             tw = jnp.where(proc, new_t, tw)
-            voxw = jnp.where(proc, new_vox, voxw)
-            aidxw = jnp.where(proc, new_aidx, aidxw)
+            packw = jnp.where(proc, new_pack, packw)
             itw = itw + jnp.where(proc, st1 + st2, 0)
 
         keyo_ref[:] = keyw
         to_ref[:] = tw
-        voxo_ref[:] = voxw
-        aidxo_ref[:] = aidxw
+        packo_ref[:] = packw
         ito_ref[:] = itw
 
 
 def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
-                 cont=1):
+                 cont=1, cam=None, cam_dims=None):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
-    _round_fused)."""
+    round bodies).  ``cam``/(static) ``cam_dims`` select camera mode."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -452,58 +534,78 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     key = state[0]
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
-                             early_exit, cont)
-    ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c: (k, 0),
-                            memory_space=pltpu.VMEM)
+                             early_exit, cont, cam_dims)
+    nsp = 2 if cam_dims is None else 3
+    off = nsp - 1  # index-map lambdas receive nsp scalar args after grid
 
-    def occ_spec(j):
-        return pl.BlockSpec(
-            (1, 8, LANES),
-            lambda k, s, c, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
-            memory_space=pltpu.VMEM)
+    if cam_dims is None:
+        ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c: (k, 0),
+                                memory_space=pltpu.VMEM)
+
+        def occ_spec(j):
+            return pl.BlockSpec(
+                (1, 8, LANES),
+                lambda k, s, c, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
+                memory_space=pltpu.VMEM)
+
+        n_in_rays, scalars = 10, ()
+    else:
+        ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c, m: (k, 0),
+                                memory_space=pltpu.VMEM)
+
+        def occ_spec(j):
+            return pl.BlockSpec(
+                (1, 8, LANES),
+                lambda k, s, c, m, j=j: (jnp.maximum(s[k * KMAX + j], 0),
+                                         0, 0),
+                memory_space=pltpu.VMEM)
+
+        n_in_rays, scalars = 5, (cam.astype(f32),)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=nsp,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # l0_occ
                   pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_mixed
         + [occ_spec(j) for j in range(KMAX)]
-        + [ray_spec] * 11,
-        out_specs=tuple([ray_spec] * 5),
+        + [ray_spec] * n_in_rays,
+        out_specs=tuple([ray_spec] * 4),
     )
 
     def rs(a):
         return a.reshape(B // LANES, LANES)
 
+    if cam_dims is None:
+        ins = [rs(a) for a in state[:10]]           # key..it (no rid)
+    else:
+        ins = [rs(a) for a in state]                # key, t, pack, it, rid
+
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B // LANES, LANES), dt)
-            for dt in (i32, f32, i32, i32, i32)),
-    )(tile_slot.reshape(-1), tile_cell.reshape(-1), l0_occ, l0_mixed,
-      *([occ_words] * KMAX),
-      *[rs(a) for a in state[:11]])
-    key2, t2, vox2, aidx2, it2 = (a.reshape(-1) for a in outs)
-    # state layout: key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid
-    return (key2, state[1], state[2], state[3], state[4], state[5],
-            state[6], t2, vox2, aidx2, it2, state[11])
+            for dt in (i32, f32, i32, i32)),
+    )(tile_slot.reshape(-1), tile_cell.reshape(-1), *scalars,
+      l0_occ, l0_mixed, *([occ_words] * KMAX), *ins)
+    key2, t2, pack2, it2 = (a.reshape(-1) for a in outs)
+    if cam_dims is None:
+        return (key2, state[1], state[2], state[3], state[4], state[5],
+                state[6], t2, pack2, it2, state[10])
+    return (key2, t2, pack2, it2, state[4])
 
 
 _run_kernel = functools.partial(jax.jit, static_argnames=(
     "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret"))(_call_kernel)
+    "interpret", "cam_dims"))(_call_kernel)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret"), donate_argnums=(0, 5, 6, 7, 8))
-def _round_fused(state, brick_slot, l0_occ, l0_mixed, occ_words,
-                 ovox, oaidx, ot, oit, halvings, G, NM, inner_cap, l0_cap,
-                 early_exit, interpret, cont=1):
-    """One full wavefront round as a single dispatch: sort + tile tables
-    + ``halvings`` compaction slices (tails harvested) + the kernel.
-    One host call per round — per-dispatch tunnel overhead was ~20 ms
-    and dominated the 15+ small tail rounds."""
+def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
+                opack, ot, oit, halvings, G, NM, inner_cap, l0_cap,
+                early_exit, interpret, cont=1, cam=None, cam_dims=None):
+    """One full wavefront round: sort + tile tables + ``halvings``
+    compaction slices (tails harvested) + the kernel.  Traceable; jitted
+    as _round_fused for the dynamic loop and inlined into the
+    static-schedule trace."""
     srt, tile_slot, tile_cell, n_act = _sort_stage(state, brick_slot)
     for _ in range(halvings):
         T = tile_slot.shape[0]
@@ -512,12 +614,17 @@ def _round_fused(state, brick_slot, l0_occ, l0_mixed, occ_words,
         srt = tuple(a[:T2 * TILE] for a in srt)
         tile_slot = tile_slot[:T2]
         tile_cell = tile_cell[:T2]
-        ovox, oaidx, ot, oit = _harvest(tail[7], tail[8], tail[9], tail[10],
-                                        ovox, oaidx, ot, oit, tail[11])
+        opack, ot, oit = _harvest(tail[-4], tail[-3], tail[-2],
+                                  opack, ot, oit, tail[-1])
     state2 = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                           srt, G, NM, inner_cap, l0_cap, early_exit,
-                          interpret, cont)
-    return state2, (ovox, oaidx, ot, oit), n_act
+                          interpret, cont, cam=cam, cam_dims=cam_dims)
+    return state2, (opack, ot, oit), n_act
+
+
+_round_fused = functools.partial(jax.jit, static_argnames=(
+    "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
+    "interpret", "cam_dims"), donate_argnums=(0, 5, 6, 7))(_round_body)
 
 
 # -------------------------------------------------------------------- driver
@@ -526,11 +633,9 @@ def _sort_stage(state, brick_slot):
     """Sort by key, build tile tables, count actives.  Runs once per
     round at the current (static) size.  Results of finished rays ride
     the sort into the tail and are harvested when compaction slices them
-    off (_harvest) — scattering them every round would cost 4 full-size
+    off (_harvest) — scattering them every round would cost full-size
     random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round)."""
-    (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid) = state
-    srt = jax.lax.sort((key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid),
-                       num_keys=1)
+    srt = jax.lax.sort(tuple(state), num_keys=1)
     tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
     return srt, tile_slot, tile_cell, n_act
 
@@ -560,37 +665,24 @@ def _tile_tables(key, brick_slot):
 @jax.jit
 def _tile_tables_local(key, brick_slot):
     """Tables for the UNSORTED pixel layout: per-tile sort of the keys
-    only (a batched 1024-wide sort, not the 12-operand global sort).
+    only (a batched 1024-wide sort, not the multi-operand global sort).
     Exploits primary/bounce-ray coherence — a 32x32-pixel tile's rays
-    stop in a handful of bricks — so round 1 skips the 24 ms full-size
+    stop in a handful of bricks — so round 1 skips the full-size
     multi-payload sort; lanes beyond the KMAX candidate cells punt to
     the sorted rounds."""
     kt = jnp.sort(key.reshape(-1, TILE), axis=1)
     return _distinct_tables(kt, brick_slot)
 
 
-@jax.jit
-def _slice_half(state, tile_slot, tile_cell):
-    """Prefix-slice the sorted state to ceil(T/2) tiles (compaction —
-    done rays occupy the tail after the sort).  Returns the retired tail
-    too, for harvesting."""
-    T = tile_slot.shape[0]
-    T2 = (T + 1) // 2
-    head = tuple(a[:T2 * TILE] for a in state)
-    tail = tuple(a[T2 * TILE:] for a in state)
-    return head, tail, tile_slot[:T2], tile_cell[:T2]
-
-
-@functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7))
-def _harvest(t, vox, aidx, it, ovox, oaidx, ot, oit, rid):
+@functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+def _harvest(t, pack, it, opack, ot, oit, rid):
     """Scatter one retired slice's results into the output buffers.
     Shapes are ladder-stable (halving tails), so this compiles once per
     tail size; total scatter work per segment is <= one full B."""
-    ovox = ovox.at[rid].set(vox, mode="drop")
-    oaidx = oaidx.at[rid].set(aidx, mode="drop")
+    opack = opack.at[rid].set(pack, mode="drop")
     ot = ot.at[rid].set(t, mode="drop")
     oit = oit.at[rid].set(it, mode="drop")
-    return ovox, oaidx, ot, oit
+    return opack, ot, oit
 
 
 @functools.partial(jax.jit, static_argnames=("ws", "B"))
@@ -613,63 +705,202 @@ def _init_state(origins, dirs, active, ws, B):
     dy = pad(d[:, 1], 1)
     dz = pad(d[:, 2], 1)
     t = jnp.zeros(S, f32)
-    vox = pad(jnp.where(alive0, -2, -1), -1)
-    aidx = jnp.zeros(S, i32)
+    pack = pad(jnp.where(alive0, PACK_PEND, PACK_MISS), PACK_MISS)
     it = jnp.zeros(S, i32)
     rid = pad(jnp.arange(B, dtype=i32), B)
-    return (key, ox, oy, oz, dx, dy, dz, t, vox, aidx, it, rid)
+    return (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
 
 
-@functools.partial(jax.jit, static_argnames=("ws", "B"))
-def _finish(ovox, oaidx, ot, oit, attr_comb, origins, dirs, ws, B):
-    vox = ovox[:B]
-    hit = vox >= 0
-    attr = jnp.where(hit, attr_comb[jnp.maximum(oaidx[:B], 0)], 0)
-    vx = vox // (ws * ws)
-    vy = (vox // ws) % ws
-    vz = vox % ws
+@functools.partial(jax.jit, static_argnames=("B",))
+def _init_state_cam(B):
+    """Camera-mode initial state: every ray alive, geometry via rid."""
+    S = -(-B // TILE) * TILE
+
+    def pad(a, fill):
+        return jnp.pad(a, (0, S - B), constant_values=fill)
+
+    key = pad(jnp.full(B, KEY_INIT, i32), KEY_DONE)
+    t = jnp.zeros(S, f32)
+    pack = pad(jnp.full(B, PACK_PEND, i32), PACK_MISS)
+    it = jnp.zeros(S, i32)
+    rid = pad(jnp.arange(B, dtype=i32), B)
+    return (key, t, pack, it, rid)
+
+
+def cam16(cam5):
+    """Pack the camera uniform (5,3) into the 16 f32 scalars the camera
+    -mode kernel prefetches: pos, l1, l2, r1, r2 (Camera.uniform order)."""
+    return jnp.pad(jnp.asarray(cam5, f32).reshape(-1), (0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("ws", "B", "capacity"))
+def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
+            ws, B, capacity):
+    pack = opack[:B]
+    hit = pack >= 0
+    pk = jnp.maximum(pack, 0)
+    uni = (pk >> 30) & 1
+    G = ws // 32
+    t_vox = ot[:B]
+    if G <= 32:
+        widx = pk & 0x7FFF
+        cell = (pk >> 15) & 0x7FFF
+        slot = brick_slot[cell]
+        vx = (cell // (G * G)) * 32 + widx // 1024
+        vy = ((cell // G) % G) * 32 + (widx // 32) % 32
+        vz = (cell % G) * 32 + widx % 32
+    else:
+        # mixed: slot<<15 | widx; uniform: 1<<30 | cell (kernel comment)
+        widx = pk & 0x7FFF
+        slot = (pk >> 15) & 0x7FFF
+        cell = jnp.where(uni == 1, pk & ((1 << 30) - 1), slot_cell[slot])
+        bx, by, bz = cell // (G * G), (cell // G) % G, cell % G
+        ov = (origins.astype(f32) - 1.0) * f32(ws)
+        p = ov + t_vox[:, None] * dirs.astype(f32)
+        ux = jnp.clip(p[:, 0].astype(i32), bx * 32, bx * 32 + 31)
+        uy = jnp.clip(p[:, 1].astype(i32), by * 32, by * 32 + 31)
+        uz = jnp.clip(p[:, 2].astype(i32), bz * 32, bz * 32 + 31)
+        vx = jnp.where(uni == 1, ux, bx * 32 + widx // 1024)
+        vy = jnp.where(uni == 1, uy, by * 32 + (widx // 32) % 32)
+        vz = jnp.where(uni == 1, uz, bz * 32 + widx % 32)
+    aidx = jnp.where(uni == 1, i32(capacity) * 32768 + cell,
+                     slot * 32768 + widx)
+    attr = jnp.where(hit, attr_comb[jnp.where(hit, aidx, 0)], 0)
+    vx = jnp.where(hit, vx, -1)
+    vy = jnp.where(hit, vy, -1)
+    vz = jnp.where(hit, vz, -1)
     return brick_trace.decode_hits(ws, origins.astype(f32), dirs.astype(f32),
-                                   hit, attr, vx, vy, vz, ot[:B], oit[:B])
+                                   hit, attr, vx, vy, vz, t_vox, oit[:B])
+
+
+def _resolve_caps(G):
+    return 100, 3 * G + 4
+
+
+def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
+                NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
+                cont, local_round1, cam_dims, min_tiles):
+    """The full round ladder as one traceable function (static
+    ``schedule`` = per-round halving counts recorded by a dynamic run).
+    Returns (HitResult, n_left) — n_left>0 means the replayed schedule
+    cut live rays (camera moved too far): caller must fall back."""
+    (l0_occ, l0_mixed, brick_slot, occ_words, attr_comb,
+     slot_cell) = wscene_arrays
+    if cam_dims is None:
+        state = _init_state(origins, dirs, active, ws, B)
+    else:
+        state = _init_state_cam(B)
+    S = state[0].shape[0]
+    opack = jnp.full((B + 1,), PACK_MISS, i32)
+    ot = jnp.zeros((B + 1,), f32)
+    oit = jnp.zeros((B + 1,), i32)
+
+    none_slot = jnp.full((S // TILE, KMAX), -1, i32)
+    state = _call_kernel(none_slot, none_slot, l0_occ, l0_mixed, occ_words,
+                         state, G, NM, inner_cap, l0_cap, early_exit,
+                         interpret, cam=cam, cam_dims=cam_dims)
+    if local_round1:
+        tile_slot, tile_cell, _n = _tile_tables_local(state[0], brick_slot)
+        state = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed,
+                             occ_words, state, G, NM, inner_cap, l0_cap,
+                             early_exit, interpret, cont, cam=cam,
+                             cam_dims=cam_dims)
+    for h in schedule:
+        state, bufs, _n = _round_body(
+            state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
+            h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
+            cam=cam, cam_dims=cam_dims)
+        opack, ot, oit = bufs
+    opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
+                              opack, ot, oit, state[-1])
+    n_left = jnp.sum((opack[:B] == PACK_PEND).astype(i32))
+    res = _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb,
+                  origins, dirs, ws=ws, B=B, capacity=capacity)
+    return res, n_left
+
+
+_trace_static = functools.partial(jax.jit, static_argnames=(
+    "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
+    "early_exit", "interpret", "cont", "local_round1", "cam_dims",
+    "min_tiles"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cone_trace=False, max_iterations=None, active=None,
                         max_rounds=24, interpret=None, early_exit=True,
                         min_tiles=2, cont=1, local_round1=True,
-                        defer_sync=True, profile=None):
+                        defer_sync=True, profile=None, camera=None,
+                        schedule=None, schedule_slack=1):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
     (``max_depth``/``cone_trace``/``max_iterations`` accepted for driver
-    compatibility; this path always resolves to the finest leaf).  The
-    round loop runs on the host with one scalar sync per round (sync RTT
-    is ~ms; compaction needs the count — see PERF_NOTES.md).  ``cont``
-    = brick crossings attempted per ray per round (kernel unroll; >1 did
-    not help on terrain and cont=4 took Mosaic 19 min to compile — keep
-    1 unless re-measured).  ``local_round1`` runs round 1 from
-    pixel-coherent tile tables instead of a full sort.  ``defer_sync``
-    reads each round's active count one round late (counts only
-    decrease, so the stale bound is safe for compaction) — hides the
-    per-round device->host RTT behind the next round's compute.
-    ``profile`` (optional dict) collects per-round active counts.
+    compatibility; this path always resolves to the finest leaf).
+
+    Dynamic mode (default): the round loop runs on the host with one
+    scalar sync per round (``defer_sync`` reads each round's count one
+    round late — counts only decrease, so the stale bound is safe for
+    compaction — hiding the device->host RTT behind the next round).
+    ``profile`` (dict) collects per-round actives AND the compaction
+    ``schedule`` for replay; ``schedule_slack`` >1 pads the recorded
+    compaction so the replay tolerates per-frame ray variation.
+
+    Static mode (``schedule`` = tuple of per-round halving counts from a
+    prior profile): the ENTIRE ladder runs as one jitted dispatch (zero
+    per-round host round-trips).  Returns (HitResult, n_left_devicearray)
+    — the caller checks n_left == 0 to validate the replay.
+
+    ``camera`` (cam5 array, plus origins/dirs shaped (W*H, 3) in image
+    row order) switches the sort payload from 12 to 5 operands: the
+    kernel re-derives each primary ray from its rid (camera mode needs
+    ``active`` to be None/all-true).  Pass camera=(cam5, W, H).
+
+    ``cont`` = brick crossings attempted per ray per round (kernel
+    unroll; >1 did not help on terrain and cont=4 took Mosaic 19 min to
+    compile).  ``local_round1`` runs round 1 from pixel-coherent tile
+    tables instead of a full sort.
     """
     B = origins.shape[0]
     G = wscene.grid_size
     NM = wscene.capacity   # uniform-attr base in attr_comb
     ws = wscene.world_size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    inner_cap, l0_cap = _resolve_caps(G)
+
+    cam = None
+    cam_dims = None
+    if camera is not None:
+        cam5, W, H = camera
+        assert W * H == B, (W, H, B)
+        assert active is None, "camera mode traces every pixel"
+        cam = cam16(cam5)
+        cam_dims = (W, H, ws)
+
     if active is None:
         active = jnp.ones(B, bool)
     else:
         active = active.astype(bool)
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    inner_cap = 100
-    l0_cap = 3 * G + 4
 
-    state = _init_state(origins, dirs, active, ws, B)
+    warrays = (wscene.l0_occ, wscene.l0_mixed, wscene.brick_slot,
+               wscene.occ_words, wscene.attr_comb, wscene.slot_cell)
+
+    if schedule is not None:
+        res, n_left = _trace_static(
+            origins, dirs, active, cam, warrays, schedule=tuple(schedule),
+            B=B, G=G, NM=NM, ws=ws, capacity=wscene.capacity,
+            inner_cap=inner_cap, l0_cap=l0_cap, early_exit=early_exit,
+            interpret=interpret, cont=cont, local_round1=local_round1,
+            cam_dims=cam_dims, min_tiles=min_tiles)
+        return res, n_left
+
+    # ---------------- dynamic round loop (schedule discovery) ----------
+    if cam_dims is None:
+        state = _init_state(origins, dirs, active, ws, B)
+    else:
+        state = _init_state_cam(B)
     S = state[0].shape[0]
-    ovox = jnp.full((B + 1,), -1, i32)
-    oaidx = jnp.zeros((B + 1,), i32)
+    opack = jnp.full((B + 1,), PACK_MISS, i32)
     ot = jnp.zeros((B + 1,), f32)
     oit = jnp.zeros((B + 1,), i32)
 
@@ -678,7 +909,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     state = _run_kernel(none_slot, none_slot, wscene.l0_occ,
                         wscene.l0_mixed, wscene.occ_words, state, G=G,
                         NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
-                        early_exit=early_exit, interpret=interpret)
+                        early_exit=early_exit, interpret=interpret,
+                        cam=cam, cam_dims=cam_dims)
     if profile is not None:
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
@@ -691,35 +923,36 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
                             early_exit=early_exit, interpret=interpret,
-                            cont=cont)
+                            cont=cont, cam=cam, cam_dims=cam_dims)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,
                      active=int(jnp.sum(state[0] != KEY_DONE))))
 
+    rec_schedule = []
     pending = None   # deferred active-count device scalar
     for r in range(1, max_rounds + 1):
-        if defer_sync:
-            # block on the PREVIOUS round's count (already computed —
-            # near-zero wait); it upper-bounds the current actives
-            n = int(pending) if pending is not None else S
-        else:
-            n = int(pending) if pending is not None else S
+        # block on the PREVIOUS round's count (already computed — near-
+        # zero wait); it upper-bounds the current actives
+        n = int(pending) if pending is not None else S
         if n == 0:
             break
-        # static halving count for this round's fused dispatch
+        # static halving count for this round's fused dispatch;
+        # schedule_slack>1 under-compacts so a replay tolerates variation
         T = state[0].shape[0] // TILE
+        floor_t = max(-(-(n * schedule_slack) // TILE), min_tiles)
         halvings = 0
-        while (T + 1) // 2 >= max(-(-n // TILE), min_tiles) \
-                and T > min_tiles:
+        while (T + 1) // 2 >= floor_t and T > min_tiles:
             T = (T + 1) // 2
             halvings += 1
         state, bufs, n_act = _round_fused(
             state, wscene.brick_slot, wscene.l0_occ, wscene.l0_mixed,
-            wscene.occ_words, ovox, oaidx, ot, oit, halvings=halvings,
+            wscene.occ_words, opack, ot, oit, halvings=halvings,
             G=G, NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
-            early_exit=early_exit, interpret=interpret, cont=cont)
-        ovox, oaidx, ot, oit = bufs
+            early_exit=early_exit, interpret=interpret, cont=cont,
+            cam=cam, cam_dims=cam_dims)
+        opack, ot, oit = bufs
+        rec_schedule.append(halvings)
         pending = n_act
         if not defer_sync:
             pending = jnp.asarray(int(n_act), i32)  # sync now
@@ -727,7 +960,11 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             profile["rounds"].append(dict(r=r, size=state[0].shape[0],
                                           active=int(n_act), bound=n))
 
-    ovox, oaidx, ot, oit = _harvest(state[7], state[8], state[9], state[10],
-                                    ovox, oaidx, ot, oit, state[11])
-    return _finish(ovox, oaidx, ot, oit, wscene.attr_comb, origins, dirs,
-                   ws=ws, B=B)
+    opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
+                              opack, ot, oit, state[-1])
+    if profile is not None:
+        # one extra zero-halving tail round absorbs per-frame variation
+        profile["schedule"] = tuple(rec_schedule) + (0,)
+    return _finish(opack, ot, oit, wscene.brick_slot, wscene.slot_cell,
+                   wscene.attr_comb, origins, dirs, ws=ws, B=B,
+                   capacity=wscene.capacity)

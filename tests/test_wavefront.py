@@ -78,6 +78,118 @@ def test_active_mask_and_nan():
     assert hit[0] and not hit[1] and not hit[2]
 
 
+def test_static_schedule_replay():
+    """A recorded schedule replayed as one jitted dispatch must agree
+    with the dynamic trace exactly (same kernels, same round count)."""
+    vox = make_terrain_voxels(64, seed=5)
+    tree = build_np.build_octree_np(vox)
+    scene = brick_scene.brickify(tree).to_device()
+    ws = wavefront.prepare(scene)
+    o, d = random_rays(2048, seed=21)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    prof = {}
+    ref = wavefront.intersect_wavefront(ws, o, d, interpret=True,
+                                        profile=prof, schedule_slack=2)
+    got, n_left = wavefront.intersect_wavefront(
+        ws, o, d, interpret=True, schedule=prof["schedule"])
+    assert int(n_left) == 0
+    for k in ("hit", "value", "t", "normal", "depth"):
+        a = np.asarray(getattr(ref, k))
+        b = np.asarray(getattr(got, k))
+        assert np.array_equal(a, b), k
+
+
+def test_camera_mode_matches_explicit():
+    """Camera mode (5-operand sort, in-kernel ray derivation) must match
+    the explicit path bit-for-bit in interpret mode — the kernel mirrors
+    shade.pixel_dirs_rows op-for-op."""
+    from svo_raytracer_tpu.ops import shade
+    from svo_raytracer_tpu.utils.camera import Camera
+
+    vox = make_terrain_voxels(64, seed=9)
+    tree = build_np.build_octree_np(vox)
+    scene = brick_scene.brickify(tree).to_device()
+    ws = wavefront.prepare(scene)
+    cam = Camera(pos=np.array([1.4, 1.7, 1.3]))
+    cam.rotate(-0.5, 0.8)
+    cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+    W, H = 64, 32
+    dun = shade.pixel_dirs_device(cam5, W, H)
+    d = dun / jnp.linalg.norm(dun, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam5[0], d.shape)
+    ref = wavefront.intersect_wavefront(ws, o, d, interpret=True)
+    got = wavefront.intersect_wavefront(ws, o, d, interpret=True,
+                                        camera=(cam5, W, H))
+    assert np.array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    both = np.asarray(ref.hit) & np.asarray(got.hit)
+    assert np.array_equal(np.asarray(ref.value)[both],
+                          np.asarray(got.value)[both])
+    assert np.allclose(np.asarray(ref.t)[both], np.asarray(got.t)[both],
+                       atol=1e-5)
+    # static replay composes with camera mode
+    prof = {}
+    _ = wavefront.intersect_wavefront(ws, o, d, interpret=True,
+                                      camera=(cam5, W, H), profile=prof,
+                                      schedule_slack=2)
+    got2, n_left = wavefront.intersect_wavefront(
+        ws, o, d, interpret=True, camera=(cam5, W, H),
+        schedule=prof["schedule"])
+    assert int(n_left) == 0
+    assert np.array_equal(np.asarray(got.hit), np.asarray(got2.hit))
+
+
+def test_g64_world():
+    """G=64 (2048^3) support: two-word L0 columns + slot-based hit pack.
+    The scene is hand-built (a dense 2048^3 voxel grid is infeasible on
+    CPU); oracle = brick_trace, which is G-general."""
+    from svo_raytracer_tpu.ops.brick_dda import pack_occupancy
+
+    G, ws_sz = 64, 2048
+    rs = np.random.RandomState(3)
+    occ3 = np.zeros((G, G, G), bool)
+    brick_slot = np.full(G * G * G, -1, np.int32)
+    brick_attr = np.zeros(G * G * G, np.int32)
+    # mixed bricks along a diagonal band (including z>31 cells: the
+    # second L0 word) with random half-filled occupancy
+    mixed_cells = []
+    for i in range(0, G, 3):
+        c = (i * G + (G - 1 - i)) * G + i
+        occ3[i, G - 1 - i, i] = True
+        mixed_cells.append(c)
+    n_mixed = len(mixed_cells)
+    occ_words = np.zeros((n_mixed, 8, 128), np.int32)
+    attrs = np.zeros((n_mixed, 256, 128), np.int32)
+    for s, c in enumerate(mixed_cells):
+        brick_slot[c] = s
+        vox = rs.rand(32, 32, 32) < 0.3
+        occ_words[s] = np.asarray(pack_occupancy(vox)).reshape(8, 128)
+        attrs[s] = ((vox.reshape(256, 128) != 0)
+                    * (2 + (559 << 8) + (11 << 24))).astype(np.int32)
+    # a few uniform-solid bricks (slot -1, attr != 0), one with z>31
+    for (ux, uy, uz) in ((4, 4, 40), (50, 50, 50)):
+        occ3[ux, uy, uz] = True
+        brick_attr[(ux * G + uy) * G + uz] = 1 + (559 << 8) + (6 << 24)
+    l0 = np.asarray(pack_occupancy(occ3))
+    scene = brick_scene.BrickScene(
+        world_size=ws_sz, grid_size=G, n_mixed=n_mixed,
+        l0_table=l0.reshape(-1, 128), brick_slot=brick_slot,
+        brick_attr=brick_attr, occ_words=occ_words, attrs=attrs)
+    ws = wavefront.prepare(scene)
+    o, d = random_rays(256, seed=17)
+    ref = brick_trace.intersect_bricks(scene.to_device(), jnp.asarray(o),
+                                       jnp.asarray(d))
+    got = wavefront.intersect_wavefront(ws, jnp.asarray(o), jnp.asarray(d),
+                                        interpret=True)
+    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+    assert (rh == gh).mean() >= 0.99, (rh.sum(), gh.sum())
+    both = rh & gh
+    assert both.any()
+    assert (np.asarray(ref.value)[both]
+            == np.asarray(got.value)[both]).mean() >= 0.98
+    assert (np.abs(np.asarray(ref.t) - np.asarray(got.t))[both]
+            <= 2e-4).mean() >= 0.98
+
+
 def test_profile_and_compaction():
     vox = make_terrain_voxels(64, seed=5)
     tree = build_np.build_octree_np(vox)

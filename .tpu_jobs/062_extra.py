@@ -1,0 +1,138 @@
+"""extra (in-kernel DMA continuation) sweep + fused whole-frame GI +
+compiled gate with max_rounds=96."""
+import sys as _sys
+for _m in [m for m in _sys.modules if m.startswith("svo_raytracer_tpu")]:
+    del _sys.modules[_m]
+import json, os, sys, time
+import numpy as np, jax, jax.numpy as jnp
+sys.path.insert(0, REPO)
+from svo_raytracer_tpu.ops import brick_scene, brick_trace, shade
+from svo_raytracer_tpu.ops import wavefront as wf
+from svo_raytracer_tpu.ops import render_wave
+from svo_raytracer_tpu.utils.camera import Camera
+f32 = jnp.float32
+def out(**kw): print(json.dumps(kw), flush=True)
+CACHE = os.path.join(REPO, ".bench_cache")
+b = np.load(os.path.join(CACHE, "bricks_1024.npz"))
+scene_h = brick_scene.BrickScene(world_size=1024, grid_size=32,
+    n_mixed=int(b["n_mixed"]), l0_table=b["l0_table"],
+    brick_slot=b["brick_slot"], brick_attr=b["brick_attr"],
+    occ_words=b["occ_words"], attrs=b["attrs"])
+W = wf.prepare(scene_h)
+jax.block_until_ready(W.attr_comb)
+
+# hard camera (same as 058/060/061)
+gx = np.linspace(1.2, 1.8, 5, dtype=np.float32)
+pxz = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
+po = np.concatenate([pxz[:, :1], np.full((25, 1), 1.999, np.float32),
+                     pxz[:, 1:]], axis=1)
+pd = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (25, 1))
+pr = wf.intersect_wavefront(W, jnp.asarray(po), jnp.asarray(pd),
+                            interpret=False, extra=0)
+ts = np.asarray(pr.t); best = int(np.argmax(ts)); surf = 1.999 - float(ts[best])
+cam = Camera(pos=np.array([po[best, 0], min(surf + 0.05, 1.99), po[best, 2]]))
+cam.rotate(-0.35, 0.4)
+cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+WD, HT = 1920, 1080
+B = WD * HT
+du = shade.pixel_dirs_device(cam5, WD, HT)
+dirs = du / jnp.linalg.norm(du, axis=-1, keepdims=True)
+origins = jnp.broadcast_to(cam5[0], dirs.shape)
+jax.block_until_ready(dirs)
+
+# ---- extra sweep on the primary trace (dynamic + static replay)
+ref_hits = None
+for extra in (0, 2, 3):
+    try:
+        prof = {}
+        t0 = time.time()
+        res = wf.intersect_wavefront(W, origins, dirs,
+                                     camera=(cam5, WD, HT),
+                                     interpret=False, profile=prof,
+                                     schedule_slack=1, extra=extra)
+        nh = float(jnp.sum(res.hit.astype(f32)))
+        comp_s = time.time() - t0
+        t0 = time.time()
+        for _i in range(3):
+            res = wf.intersect_wavefront(W, origins, dirs,
+                                         camera=(cam5, WD, HT),
+                                         interpret=False, extra=extra)
+        jax.block_until_ready(res.t)
+        dt = (time.time() - t0) / 3
+        if ref_hits is None:
+            ref_hits = nh
+        out(kind="prim_dyn", extra=extra, ms=round(dt * 1e3, 1),
+            mrays=round(B / dt / 1e6, 1), hitfrac=round(nh / B, 4),
+            rounds=len(prof["schedule"]), comp_s=round(comp_s, 1),
+            dhit=int(nh - ref_hits))
+        sched = prof["schedule"]
+        t0 = time.time()
+        res_s, n_left = wf.intersect_wavefront(
+            W, origins, dirs, camera=(cam5, WD, HT), interpret=False,
+            schedule=sched, extra=extra)
+        jax.block_until_ready(res_s.t)
+        comp_s = time.time() - t0
+        t0 = time.time()
+        for _i in range(3):
+            res_s, n_left = wf.intersect_wavefront(
+                W, origins, dirs, camera=(cam5, WD, HT), interpret=False,
+                schedule=sched, extra=extra)
+        jax.block_until_ready(res_s.t)
+        dt = (time.time() - t0) / 3
+        nh_s = float(jnp.sum(res_s.hit.astype(f32)))
+        out(kind="prim_static", extra=extra, ms=round(dt * 1e3, 1),
+            mrays=round(B / dt / 1e6, 1), n_left=int(n_left),
+            comp_s=round(comp_s, 1), dhit=int(nh_s - ref_hits))
+    except Exception as e:
+        import traceback
+        fr = traceback.extract_tb(e.__traceback__)[-1]
+        out(kind="prim_extra_fail", extra=extra,
+            error=f"{type(e).__name__}: {str(e)[:160]} @ {fr.lineno}")
+        break
+
+# ---- fused whole-frame GI (schedules discovered per segment, then one
+# dispatch per frame); uses wavefront.DEFAULT_EXTRA unless patched here
+best_extra = 2
+wf.DEFAULT_EXTRA = best_extra
+render_wave._SCHED.clear()
+t0 = time.time()
+col, d_, it_ = render_wave.render_frame_wavefront(
+    W, cam5, WD, HT, render_mode=0, frame_number=1, gi_bounces=1,
+    interpret=False)
+_ = float(jnp.sum(col))
+out(kind="gi_f1_discover", s=round(time.time() - t0, 1))
+t0 = time.time()
+col, d_, it_ = render_wave.render_frame_wavefront(
+    W, cam5, WD, HT, render_mode=0, frame_number=2, gi_bounces=1,
+    interpret=False)
+_ = float(jnp.sum(col))
+out(kind="gi_f2_fused_compile", s=round(time.time() - t0, 1))
+t0 = time.time()
+for i in range(4):
+    col, d_, it_ = render_wave.render_frame_wavefront(
+        W, cam5, WD, HT, render_mode=0, frame_number=i + 3, gi_bounces=1,
+        interpret=False)
+_ = float(jnp.sum(col))
+dt = (time.time() - t0) / 4
+out(kind="gi_frame_fused", ms=round(dt * 1e3, 1),
+    mrays=round(2 * B / dt / 1e6, 1), extra=best_extra)
+
+# 3-bounce fused
+for fn in (1, 2):
+    col, d_, it_ = render_wave.render_frame_wavefront(
+        W, cam5, WD, HT, render_mode=0, frame_number=fn, gi_bounces=3,
+        interpret=False)
+    _ = float(jnp.sum(col))
+t0 = time.time()
+for i in range(3):
+    col, d_, it_ = render_wave.render_frame_wavefront(
+        W, cam5, WD, HT, render_mode=0, frame_number=i + 3, gi_bounces=3,
+        interpret=False)
+_ = float(jnp.sum(col))
+dt = (time.time() - t0) / 3
+out(kind="gi3_frame_fused", ms=round(dt * 1e3, 1),
+    mrays=round(4 * B / dt / 1e6, 1))
+
+# ---- compiled gate (max_rounds=96 default now)
+exec(open(os.path.join(REPO, "scripts", "tpu_gate.py")).read(),
+     {"REPO": REPO, "__name__": "__tpu_job__"})

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import constants as C
 from . import rng, shade, wavefront
@@ -34,7 +35,7 @@ f32 = jnp.float32
 i32 = jnp.int32
 
 
-def make_isect(wscene, max_rounds=24, interpret=None, min_tiles=64,
+def make_isect(wscene, max_rounds=96, interpret=None, min_tiles=64,
                early_exit=True):
     """An ``intersect_octree``-shaped callable over a WaveScene."""
     return functools.partial(wavefront.intersect_wavefront, wscene,
@@ -157,11 +158,77 @@ def _shadow_rays(res):
             res.hit)
 
 
+def _mode_tags(render_mode, gi_bounces):
+    if render_mode == 0:
+        return ("prim",) + tuple(f"gi{s}" for s in range(1, gi_bounces + 1))
+    if render_mode == 2:
+        return ("prim", "shadow")
+    return ("prim",)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "render_mode", "gi_bounces", "mirror_values",
+    "schedules", "G", "NM", "ws", "capacity", "early_exit", "interpret",
+    "min_tiles", "extra"))
+def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
+                  gi_bounces, mirror_values, schedules, G, NM, ws, capacity,
+                  early_exit, interpret, min_tiles, extra):
+    """One whole frame — every traversal segment (static schedules) plus
+    all shading stages — as a single jitted dispatch.  The reference pays
+    1-2 kernel dispatches per frame (Main.java:257-288); this is the
+    analog once the schedules are known.  Returns (col, depth, iters,
+    n_lefts) — n_lefts[i] > 0 means segment i's schedule went stale."""
+    inner_cap, l0_cap = wavefront._resolve_caps(G)
+    B = width * height
+    origins, dirs, px, py = _frame_rays(cam5, width, height)
+    cam = wavefront.cam16(cam5)
+    ones = jnp.ones(B, bool)
+
+    def trace(o, d, act, cam_dims, sched):
+        return wavefront._trace_body(
+            o, d, act, cam if cam_dims is not None else None, warrays,
+            tuple(sched), B, G, NM, ws, capacity, inner_cap, l0_cap,
+            early_exit, interpret, 1, True, cam_dims, min_tiles,
+            extra=extra)
+
+    cdims = (width, height, ws)
+    n_lefts = []
+    if render_mode == 0:
+        accum, mask, depth, iters_out, active, r = _gi_init(
+            px, py, frame_number.astype(f32), dirs)
+        o, d = origins, dirs
+        for seg in range(gi_bounces + 1):
+            if seg == 0:
+                res, nl = trace(o, d, ones, cdims, schedules[0])
+            else:
+                res, nl = trace(o, d, active, None, schedules[seg])
+            n_lefts.append(nl)
+            accum, mask, depth, iters_out, active, o, d = _gi_update(
+                seg == 0, mirror_values, accum, mask, depth, iters_out,
+                active, o, d, r, res)
+        col, it = accum, iters_out
+    elif render_mode == 2:
+        res, nl = trace(origins, dirs, ones, cdims, schedules[0])
+        n_lefts.append(nl)
+        so, sd, sa = _shadow_rays(res)
+        sh, nl2 = trace(so, sd, sa, None, schedules[1])
+        n_lefts.append(nl2)
+        col, depth, it = shade.direct_shade_math(dirs, res, sh,
+                                                 jnp.zeros_like(res.t))
+    else:
+        res, nl = trace(origins, dirs, ones, cdims, schedules[0])
+        n_lefts.append(nl)
+        col, depth, it = (_heat_post(res) if render_mode == 1
+                          else _norm_post(res))
+    return (col.reshape(height, width, 3), depth.reshape(height, width),
+            it.reshape(height, width), jnp.stack(n_lefts))
+
+
 def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
                            frame_number=1, gi_bounces=1, rng_mode="glsl",
                            rng_key=None, mirror_values=(),
                            max_depth=C.MAX_DEPTH, max_iterations=None,
-                           max_rounds=24, interpret=None, min_tiles=64,
+                           max_rounds=96, interpret=None, min_tiles=64,
                            early_exit=True, use_static=True):
     """Render one frame through the wavefront engine.
 
@@ -182,6 +249,35 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
               min_tiles=min_tiles, early_exit=early_exit,
               use_static=use_static)
     cam5 = jnp.asarray(cam5, f32)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # fused path: every segment's schedule known -> ONE dispatch per frame
+    tags = _mode_tags(render_mode, gi_bounces)
+    B = width * height
+    keys = [(id(wscene), wscene.n_mixed, t, B) for t in tags]
+    if use_static and all(k in _SCHED for k in keys) \
+            and (render_mode != 0 or rng_mode == "glsl"):
+        warrays = (wscene.l0_occ, wscene.l0_mixed, wscene.brick_slot,
+                   wscene.occ_words, wscene.attr_comb, wscene.slot_cell)
+        col, depth, it, n_lefts = _frame_static(
+            cam5, warrays, jnp.asarray(frame_number, f32),
+            width=width, height=height, render_mode=render_mode,
+            gi_bounces=gi_bounces, mirror_values=tuple(mirror_values),
+            schedules=tuple(_SCHED[k][0] for k in keys),
+            G=wscene.grid_size, NM=wscene.capacity, ws=wscene.world_size,
+            capacity=wscene.capacity, early_exit=early_exit,
+            interpret=interpret, min_tiles=min_tiles,
+            extra=(wavefront.DEFAULT_EXTRA
+                   if wscene.grid_size <= 32 else 0))
+        stale = np.asarray(n_lefts)
+        if not stale.any():
+            return col, depth, it
+        for i, k in enumerate(keys[:len(stale)]):
+            if stale[i] > 0:
+                _SCHED.pop(k, None)
+        # fall through: per-segment path re-records the stale schedules
+
     origins, dirs, px, py = _frame_rays(cam5, width, height)
     camera = (cam5, width, height)
 

@@ -72,6 +72,7 @@ KEY_INIT = np.int32(-2)     # ray not yet L0-marched (round 0 / stuck)
 PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
 PACK_MISS = np.int32(-1)    # ray retired without a hit
 _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
+DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
 
 # state tuple layouts (key first; (t, pack, it, rid) always last):
 #   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
@@ -296,39 +297,53 @@ def _bcast_rows(block, n):
             for r in range(n)]
 
 
-def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
+def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
+               *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     explicit mode (cam_dims=None) args:
-      tslot, tcell, l0, mx, occ_0..occ_{KMAX-1},
-      key, ox, oy, oz, dx, dy, dz, t, pack, it || keyo, to, packo, ito
+      tslot, tcell, [bslot,] l0, mx, occ_0..occ_{KMAX-1}, [occ_hbm,]
+      key, ox, oy, oz, dx, dy, dz, t, pack, it
+      || keyo, to, packo, ito [ || scratch, dma_sem ]
     camera mode (cam_dims=(W, H, world_size)) args:
-      tslot, tcell, cam16, l0, mx, occ_0..occ_{KMAX-1},
-      key, t, pack, it, rid || keyo, to, packo, ito
+      tslot, tcell, cam16, [bslot,] l0, mx, occ_0..occ_{KMAX-1},
+      [occ_hbm,] key, t, pack, it, rid
+      || keyo, to, packo, ito [ || scratch, dma_sem ]
     — the ray origin/direction are re-derived per lane from rid + the 15
     camera scalars, mirroring shade.pixel_dirs_rows + _init_state.
 
-    ``cont`` unrolls the {brick DDA, L0 march} pair: a ray keeps marching
-    this round while its next brick stays within the tile's KMAX
-    candidates (measured r2: no gain on terrain, huge Mosaic compile
-    cost at cont=4 — keep 1 unless re-measured).
+    ``cont`` unrolls the {brick DDA, L0 march} pair against the tile's
+    static KMAX candidates (measured r2: no gain on terrain — the next
+    brick is rarely among them).  ``extra`` appends dynamic crossings:
+    the min pending cell across the tile is voted in-kernel, its
+    occupancy block DMA'd from HBM (bslot: SMEM cell->slot map), and the
+    matching lanes cross — the continuation the static candidates can't
+    provide.  extra>0 requires G<=32 (the SMEM map is G^3 words).
     """
     import jax.experimental.pallas as pl  # local: keeps CPU-importable
+    from jax.experimental.pallas import tpu as pltpu
 
-    if cam_dims is None:
-        tslot_ref, tcell_ref, l0_ref, mx_ref = args[:4]
-        refs = args[4:]
-        occ_refs = refs[:KMAX]
-        (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
-         pack_ref, it_ref) = refs[KMAX:KMAX + 10]
-        keyo_ref, to_ref, packo_ref, ito_ref = refs[KMAX + 10:]
-    else:
+    args = list(args)
+    tslot_ref = args.pop(0)
+    tcell_ref = args.pop(0)
+    if cam_dims is not None:
         W, H, ws_world = cam_dims
-        tslot_ref, tcell_ref, cam_ref, l0_ref, mx_ref = args[:5]
-        refs = args[5:]
-        occ_refs = refs[:KMAX]
-        key_ref, t_ref, pack_ref, it_ref, rid_ref = refs[KMAX:KMAX + 5]
-        keyo_ref, to_ref, packo_ref, ito_ref = refs[KMAX + 5:]
+        cam_ref = args.pop(0)
+    bslot_ref = args.pop(0) if extra else None
+    l0_ref = args.pop(0)
+    mx_ref = args.pop(0)
+    occ_refs = [args.pop(0) for _ in range(KMAX)]
+    occ_hbm_ref = args.pop(0) if extra else None
+    if extra:
+        dma_sem = args.pop()
+        scratch_ref = args.pop()
+    if cam_dims is None:
+        (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
+         pack_ref, it_ref) = args[:10]
+        keyo_ref, to_ref, packo_ref, ito_ref = args[10:]
+    else:
+        key_ref, t_ref, pack_ref, it_ref, rid_ref = args[:5]
+        keyo_ref, to_ref, packo_ref, ito_ref = args[5:]
 
     k = pl.program_id(0)
     key0 = key_ref[:]
@@ -400,14 +415,17 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
         packw = pack_ref[:]
         itw = it_ref[:]
 
-        for _c in range(cont):
+        def crossing(keyw, tw, packw, itw, cand):
+            """One {brick DDA, L0 march} pair against candidate bricks
+            ``cand`` = [(cell, slot, occ_rows), ...] (traced scalars +
+            resident bit tables).  Returns the updated ray state."""
             m_init = keyw == KEY_INIT
-            m_brick = (keyw == cells[0])
-            slot_v = jnp.full(keyw.shape, slots[0], i32)
-            for j in range(1, KMAX):
-                mj = keyw == cells[j]
+            m_brick = (keyw == cand[0][0])
+            slot_v = jnp.full(keyw.shape, cand[0][1], i32)
+            for j in range(1, len(cand)):
+                mj = keyw == cand[j][0]
                 m_brick = m_brick | mj
-                slot_v = jnp.where(mj, slots[j], slot_v)
+                slot_v = jnp.where(mj, cand[j][1], slot_v)
 
             # ---- phase 1: voxel DDA inside each lane's own brick --------
             # The composite fetch reads ARBITRARY lanes of its table rows,
@@ -428,10 +446,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
             fx, fy, fz = zi, zi, zi
             t1 = zf
             st1 = zi
-            for j in range(KMAX):
-                mj = keyw == cells[j]
+            for j in range(len(cand)):
+                mj = keyw == cand[j][0]
 
-                def occ_probe(cx, cy, cz, rows=occ_rows_j[j]):
+                def occ_probe(cx, cy, cz, rows=cand[j][2]):
                     word = _fetch(rows, cx * 32 + cy)
                     return ((word >> cz) & 1) != 0
 
@@ -515,6 +533,34 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
             tw = jnp.where(proc, new_t, tw)
             packw = jnp.where(proc, new_pack, packw)
             itw = itw + jnp.where(proc, st1 + st2, 0)
+            return keyw, tw, packw, itw
+
+        static_cand = [(cells[j], slots[j], occ_rows_j[j])
+                       for j in range(KMAX)]
+        for _c in range(cont):
+            keyw, tw, packw, itw = crossing(keyw, tw, packw, itw,
+                                            static_cand)
+
+        # ---- dynamic continuation: serve the tile's min pending cell by
+        # DMAing its occupancy block in-kernel, so coherent rays cross
+        # several bricks per sorted round instead of punting (the static
+        # tile candidates only cover the cells known BEFORE the round).
+        for _e in range(extra):
+            pend = (keyw >= 0) & (keyw < KEY_DONE)
+            cmin = jnp.min(jnp.where(pend, keyw, KEY_DONE))
+            # no pending lane -> cmin==KEY_DONE, which would MATCH done
+            # lanes (their key IS KEY_DONE) and reprocess them; neuter
+            # the candidate to -1 (matches nothing) in that case
+            ccand = jnp.where(cmin < KEY_DONE, cmin, i32(-1))
+            csafe = jnp.clip(cmin, 0, G * G * G - 1)
+            slot_dyn = jnp.maximum(bslot_ref[csafe], 0)
+            dma = pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
+                                        scratch_ref, dma_sem)
+            dma.start()
+            dma.wait()
+            dyn_rows = _bcast_rows(scratch_ref[:], 8)
+            keyw, tw, packw, itw = crossing(
+                keyw, tw, packw, itw, [(ccand, slot_dyn, dyn_rows)])
 
         keyo_ref[:] = keyw
         to_ref[:] = tw
@@ -524,43 +570,38 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, *args):
 
 def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
-                 cont=1, cam=None, cam_dims=None):
+                 cont=1, cam=None, cam_dims=None, extra=0, brick_slot=None):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
-    round bodies).  ``cam``/(static) ``cam_dims`` select camera mode."""
+    round bodies).  ``cam``/(static) ``cam_dims`` select camera mode;
+    ``extra`` enables the in-kernel dynamic continuation (needs
+    ``brick_slot``)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if extra:
+        assert G <= 32 and brick_slot is not None
     T = tile_slot.shape[0]
     key = state[0]
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
-                             early_exit, cont, cam_dims)
-    nsp = 2 if cam_dims is None else 3
-    off = nsp - 1  # index-map lambdas receive nsp scalar args after grid
+                             early_exit, cont, cam_dims, extra)
+    scalars = ()
+    if cam_dims is not None:
+        scalars += (cam.astype(f32),)
+    if extra:
+        scalars += (brick_slot,)
+    nsp = 2 + len(scalars)
 
-    if cam_dims is None:
-        ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c: (k, 0),
-                                memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((8, LANES), lambda k, *s: (k, 0),
+                            memory_space=pltpu.VMEM)
 
-        def occ_spec(j):
-            return pl.BlockSpec(
-                (1, 8, LANES),
-                lambda k, s, c, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
-                memory_space=pltpu.VMEM)
+    def occ_spec(j):
+        return pl.BlockSpec(
+            (1, 8, LANES),
+            lambda k, s, *rest, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
+            memory_space=pltpu.VMEM)
 
-        n_in_rays, scalars = 10, ()
-    else:
-        ray_spec = pl.BlockSpec((8, LANES), lambda k, s, c, m: (k, 0),
-                                memory_space=pltpu.VMEM)
-
-        def occ_spec(j):
-            return pl.BlockSpec(
-                (1, 8, LANES),
-                lambda k, s, c, m, j=j: (jnp.maximum(s[k * KMAX + j], 0),
-                                         0, 0),
-                memory_space=pltpu.VMEM)
-
-        n_in_rays, scalars = 5, (cam.astype(f32),)
+    n_in_rays = 10 if cam_dims is None else 5
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
@@ -568,8 +609,11 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),   # l0_occ
                   pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_mixed
         + [occ_spec(j) for j in range(KMAX)]
+        + ([pl.BlockSpec(memory_space=pltpu.ANY)] if extra else [])
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
+        scratch_shapes=([pltpu.VMEM((8, LANES), i32),
+                         pltpu.SemaphoreType.DMA] if extra else []),
     )
 
     def rs(a):
@@ -580,13 +624,14 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     else:
         ins = [rs(a) for a in state]                # key, t, pack, it, rid
 
+    hbm_extra = (occ_words,) if extra else ()
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B // LANES, LANES), dt)
             for dt in (i32, f32, i32, i32)),
     )(tile_slot.reshape(-1), tile_cell.reshape(-1), *scalars,
-      l0_occ, l0_mixed, *([occ_words] * KMAX), *ins)
+      l0_occ, l0_mixed, *([occ_words] * KMAX), *hbm_extra, *ins)
     key2, t2, pack2, it2 = (a.reshape(-1) for a in outs)
     if cam_dims is None:
         return (key2, state[1], state[2], state[3], state[4], state[5],
@@ -596,12 +641,13 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
 
 _run_kernel = functools.partial(jax.jit, static_argnames=(
     "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims"))(_call_kernel)
+    "interpret", "cam_dims", "extra"))(_call_kernel)
 
 
 def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                 opack, ot, oit, halvings, G, NM, inner_cap, l0_cap,
-                early_exit, interpret, cont=1, cam=None, cam_dims=None):
+                early_exit, interpret, cont=1, cam=None, cam_dims=None,
+                extra=0):
     """One full wavefront round: sort + tile tables + ``halvings``
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
@@ -618,13 +664,15 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                                   opack, ot, oit, tail[-1])
     state2 = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                           srt, G, NM, inner_cap, l0_cap, early_exit,
-                          interpret, cont, cam=cam, cam_dims=cam_dims)
+                          interpret, cont, cam=cam, cam_dims=cam_dims,
+                          extra=extra, brick_slot=brick_slot)
     return state2, (opack, ot, oit), n_act
 
 
 _round_fused = functools.partial(jax.jit, static_argnames=(
     "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims"), donate_argnums=(0, 5, 6, 7))(_round_body)
+    "interpret", "cam_dims", "extra"), donate_argnums=(0, 5, 6, 7))(
+        _round_body)
 
 
 # -------------------------------------------------------------------- driver
@@ -779,7 +827,7 @@ def _resolve_caps(G):
 
 def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                 NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
-                cont, local_round1, cam_dims, min_tiles):
+                cont, local_round1, cam_dims, min_tiles, extra=0):
     """The full round ladder as one traceable function (static
     ``schedule`` = per-round halving counts recorded by a dynamic run).
     Returns (HitResult, n_left) — n_left>0 means the replayed schedule
@@ -798,18 +846,20 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
     state = _call_kernel(none_slot, none_slot, l0_occ, l0_mixed, occ_words,
                          state, G, NM, inner_cap, l0_cap, early_exit,
-                         interpret, cam=cam, cam_dims=cam_dims)
+                         interpret, cam=cam, cam_dims=cam_dims,
+                         extra=extra, brick_slot=brick_slot)
     if local_round1:
         tile_slot, tile_cell, _n = _tile_tables_local(state[0], brick_slot)
         state = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed,
                              occ_words, state, G, NM, inner_cap, l0_cap,
                              early_exit, interpret, cont, cam=cam,
-                             cam_dims=cam_dims)
+                             cam_dims=cam_dims, extra=extra,
+                             brick_slot=brick_slot)
     for h in schedule:
         state, bufs, _n = _round_body(
             state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
-            cam=cam, cam_dims=cam_dims)
+            cam=cam, cam_dims=cam_dims, extra=extra)
         opack, ot, oit = bufs
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
@@ -822,15 +872,15 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
 _trace_static = functools.partial(jax.jit, static_argnames=(
     "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
     "early_exit", "interpret", "cont", "local_round1", "cam_dims",
-    "min_tiles"))(_trace_body)
+    "min_tiles", "extra"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cone_trace=False, max_iterations=None, active=None,
-                        max_rounds=24, interpret=None, early_exit=True,
+                        max_rounds=96, interpret=None, early_exit=True,
                         min_tiles=2, cont=1, local_round1=True,
                         defer_sync=True, profile=None, camera=None,
-                        schedule=None, schedule_slack=1):
+                        schedule=None, schedule_slack=1, extra=None):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -866,6 +916,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     ws = wscene.world_size
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if extra is None:
+        extra = DEFAULT_EXTRA if G <= 32 else 0
     inner_cap, l0_cap = _resolve_caps(G)
 
     cam = None
@@ -891,7 +943,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             B=B, G=G, NM=NM, ws=ws, capacity=wscene.capacity,
             inner_cap=inner_cap, l0_cap=l0_cap, early_exit=early_exit,
             interpret=interpret, cont=cont, local_round1=local_round1,
-            cam_dims=cam_dims, min_tiles=min_tiles)
+            cam_dims=cam_dims, min_tiles=min_tiles, extra=extra)
         return res, n_left
 
     # ---------------- dynamic round loop (schedule discovery) ----------
@@ -910,7 +962,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         wscene.l0_mixed, wscene.occ_words, state, G=G,
                         NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
                         early_exit=early_exit, interpret=interpret,
-                        cam=cam, cam_dims=cam_dims)
+                        cam=cam, cam_dims=cam_dims, extra=extra,
+                        brick_slot=wscene.brick_slot)
     if profile is not None:
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
@@ -923,7 +976,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
                             early_exit=early_exit, interpret=interpret,
-                            cont=cont, cam=cam, cam_dims=cam_dims)
+                            cont=cont, cam=cam, cam_dims=cam_dims,
+                            extra=extra, brick_slot=wscene.brick_slot)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,
@@ -950,7 +1004,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             wscene.occ_words, opack, ot, oit, halvings=halvings,
             G=G, NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
             early_exit=early_exit, interpret=interpret, cont=cont,
-            cam=cam, cam_dims=cam_dims)
+            cam=cam, cam_dims=cam_dims, extra=extra)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)
         pending = n_act
@@ -963,8 +1017,11 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
     if profile is not None:
-        # one extra zero-halving tail round absorbs per-frame variation
-        profile["schedule"] = tuple(rec_schedule) + (0,)
+        # extra zero-halving tail rounds absorb per-frame variation in
+        # the round count (bounce-segment RNG shifts it by 1-3 rounds;
+        # a stale replay forces an expensive re-record + recompile —
+        # measured 230 s/frame in .tpu_jobs/061, so over-provision)
+        profile["schedule"] = tuple(rec_schedule) + (0, 0, 0)
     return _finish(opack, ot, oit, wscene.brick_slot, wscene.slot_cell,
                    wscene.attr_comb, origins, dirs, ws=ws, B=B,
                    capacity=wscene.capacity)

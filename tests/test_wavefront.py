@@ -138,6 +138,33 @@ def test_camera_mode_matches_explicit():
     assert np.array_equal(np.asarray(got.hit), np.asarray(got2.hit))
 
 
+def test_extra_dynamic_continuation():
+    """extra>0 (in-kernel DMA continuation) must agree exactly with
+    extra=0 and converge in fewer sorted rounds."""
+    vox = make_terrain_voxels(64, seed=7)
+    tree = build_np.build_octree_np(vox)
+    ws = wavefront.prepare(brick_scene.brickify(tree))
+    o, d = random_rays(2048, seed=5)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    p0, p2 = {}, {}
+    r0 = wavefront.intersect_wavefront(ws, o, d, interpret=True, extra=0,
+                                       profile=p0)
+    r2 = wavefront.intersect_wavefront(ws, o, d, interpret=True, extra=2,
+                                       profile=p2)
+    assert np.array_equal(np.asarray(r0.hit), np.asarray(r2.hit))
+    both = np.asarray(r0.hit)
+    assert np.allclose(np.asarray(r0.t)[both], np.asarray(r2.t)[both],
+                       atol=2e-4)
+    assert np.array_equal(np.asarray(r0.value)[both],
+                          np.asarray(r2.value)[both])
+    assert len(p2["schedule"]) < len(p0["schedule"])
+    # static replay composes with extra
+    got, n_left = wavefront.intersect_wavefront(
+        ws, o, d, interpret=True, extra=2, schedule=p2["schedule"])
+    assert int(n_left) == 0
+    assert np.array_equal(np.asarray(r2.hit), np.asarray(got.hit))
+
+
 def test_g64_world():
     """G=64 (2048^3) support: two-word L0 columns + slot-based hit pack.
     The scene is hand-built (a dense 2048^3 voxel grid is infeasible on

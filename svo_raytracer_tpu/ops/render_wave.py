@@ -259,7 +259,8 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
     if use_static and all(k in _SCHED for k in keys) \
             and (render_mode != 0 or rng_mode == "glsl"):
         warrays = (wscene.l0_occ, wscene.l0_mixed, wscene.brick_slot,
-                   wscene.occ_words, wscene.attr_comb, wscene.slot_cell)
+                   wscene.occ_words, wscene.attr_comb, wscene.slot_cell,
+                   wscene.sc_words, wscene.l0_sc)
         col, depth, it, n_lefts = _frame_static(
             cam5, warrays, jnp.asarray(frame_number, f32),
             width=width, height=height, render_mode=render_mode,

@@ -42,7 +42,8 @@ def _row_offsets(mesh: Mesh, height: int):
 
 def _warrays(wscene):
     return (wscene.l0_occ, wscene.l0_mixed, wscene.brick_slot,
-            wscene.occ_words, wscene.attr_comb, wscene.slot_cell)
+            wscene.occ_words, wscene.attr_comb, wscene.slot_cell,
+            wscene.sc_words, wscene.l0_sc)
 
 
 def _shard_rays(cam5, width, height, rows, row0):
@@ -130,7 +131,7 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=((rep,) * 6, rep, rep, P("tiles")),
+        in_specs=((rep,) * 8, rep, rep, P("tiles")),
         out_specs=(P("tiles"), rep), check_vma=False)
     def _render(warr, cam5, frame_number, row0):
         o, d, px, py = _shard_rays(cam5, width, height, rows, row0[0])

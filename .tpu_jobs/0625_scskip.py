@@ -103,17 +103,3 @@ _ = float(jnp.sum(col))
 dt = (time.time() - t0) / 3
 out(kind="gi3_frame_sc", ms=round(dt * 1e3, 1),
     mrays=round(4 * B / dt / 1e6, 1))
-
-# modes 1/2/3 through the fused path
-for mode in (2, 3, 1):
-    for fn in (1, 2):
-        col, d_, it_ = render_wave.render_frame_wavefront(
-            W, cam5, WD, HT, render_mode=mode, interpret=False)
-        _ = float(jnp.sum(col))
-    t0 = time.time()
-    for _i in range(3):
-        col, d_, it_ = render_wave.render_frame_wavefront(
-            W, cam5, WD, HT, render_mode=mode, interpret=False)
-    _ = float(jnp.sum(col))
-    dt = (time.time() - t0) / 3
-    out(kind=f"mode{mode}_frame_sc", ms=round(dt * 1e3, 1))

@@ -59,6 +59,24 @@ def main():
                               per_device_iters=[int(s) for s in shard],
                               balance=round(float(bal), 4))), flush=True)
 
+    # same balance metric through the PRODUCTION (wavefront) engine —
+    # its per-ray iteration counts differ (supercell skips, L0 march)
+    from svo_raytracer_tpu.ops import brick_scene, render_wave, wavefront
+
+    wsc = wavefront.prepare(brick_scene.brickify(build_np.build_octree_np(v)))
+    _, _, w_iters = render_wave.render_frame_wavefront(
+        wsc, cam5, W, H, render_mode=2, interpret=True, use_static=False)
+    w_iters = np.asarray(w_iters)
+    for n in (1, 2, 4, 8):
+        shard = w_iters.reshape(n, H // n, W).sum(axis=(1, 2)).astype(float)
+        bal = shard.mean() / max(shard.max(), 1.0)
+        ishard = np.array([w_iters[d::n].sum() for d in range(n)], float)
+        ibal = ishard.mean() / max(ishard.max(), 1.0)
+        print(json.dumps(dict(kind="load_balance_wavefront", devices=n,
+                              balance=round(float(bal), 4),
+                              interleaved=round(float(ibal), 4))),
+              flush=True)
+
     # wall-clock at fixed total work (weak CPU proxy)
     base = None
     for n in (1, 2, 4, 8):

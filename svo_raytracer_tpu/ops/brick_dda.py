@@ -103,7 +103,7 @@ def _dda_kernel(G, W, max_steps, tab_ref, ox_ref, oy_ref, oz_ref,
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    eps = np.float32(1e-12)
+    eps = np.float32(1e-4)  # lock-step with ops/wavefront._DIR_EPS
     dx = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
     dy = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
     dz = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)

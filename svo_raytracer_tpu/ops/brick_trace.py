@@ -43,7 +43,9 @@ _EXIT_EPS = 1.0 / 1024.0
 
 
 def _clamp_dir(d):
-    eps = f32(1e-12)
+    # 1e-4, in lock-step with ops/wavefront._DIR_EPS (see the rationale
+    # there: 1e-12 lets near-axis rays livelock below the f32 ulp)
+    eps = f32(1e-4)
     return jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
 
 

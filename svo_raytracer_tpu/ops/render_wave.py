@@ -43,12 +43,53 @@ def make_isect(wscene, max_rounds=96, interpret=None, min_tiles=64,
                              min_tiles=min_tiles, early_exit=early_exit)
 
 
-# Static-schedule cache: (id(wscene), seg tag, B) -> round/compaction
-# schedule recorded by the last dynamic trace of that segment.  Replayed
-# traces run as ONE jitted dispatch (wavefront module docstring); a
-# replay that cuts live rays (n_left > 0: the camera moved too far from
-# the recording frame) falls back to a dynamic trace and re-records.
+# Static-schedule cache: (world_size, n_mixed, seg tag, B) -> round/
+# compaction schedule recorded by the last dynamic trace of that segment.
+# Replayed traces run as ONE jitted dispatch (wavefront module
+# docstring); a replay that cuts live rays (n_left > 0: the camera moved
+# too far from the recording frame) falls back to a dynamic trace and
+# re-records.  The key is stable across processes so schedules can be
+# persisted (save_schedules/load_schedules): discovery costs minutes of
+# compile through the axon tunnel, a replayed tuple is an XLA-cache hit.
 _SCHED: dict = {}
+
+
+def _sched_key(wscene, tag, B):
+    return (wscene.world_size, wscene.n_mixed, tag, B)
+
+
+def save_schedules(path):
+    """Persist every recorded schedule as JSON (key -> [schedule, slack])."""
+    import json
+    data = {"|".join(map(str, k)): [list(v[0]), v[1]]
+            for k, v in _SCHED.items()}
+    tmp = f"{path}.tmp{np.random.randint(1 << 30)}"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    import os
+    os.replace(tmp, path)
+
+
+def load_schedules(path):
+    """Seed the schedule cache from :func:`save_schedules` output.  Stale
+    entries are harmless: a replay that strands rays falls back to
+    dynamic discovery and re-records."""
+    import json
+    import os
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        data = json.load(f)
+    for k, (sched, slack) in data.items():
+        ws, nm, tag, b = k.split("|")
+        _SCHED[(int(ws), int(nm), tag, int(b))] = (tuple(sched), int(slack))
+    return len(data)
+
+
+def _stale_tol(B):
+    """Pending rays a replay may leave behind and still count as valid
+    (they render as misses, like the dynamic loop's stall break)."""
+    return max(8, B // 10000)
 
 
 def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
@@ -57,13 +98,16 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
     # schedule is exact); bounce/shadow rays vary with the frame RNG, so
     # record those with 2x compaction slack, escalating on stale replays
     slack = 1 if camera is not None else 2
-    key = (id(wscene), wscene.n_mixed, tag, o.shape[0])
+    key = _sched_key(wscene, tag, o.shape[0])
     cached = _SCHED.get(key) if use_static else None
     if cached is not None:
         sched, slack = cached
         res, n_left = wavefront.intersect_wavefront(
             wscene, o, d, active=active, camera=camera, schedule=sched, **kw)
-        if int(n_left) == 0:
+        # a sub-0.01% residue matches the dynamic loop's own stall
+        # break (livelocked rays retire as misses either way) — only a
+        # real divergence (camera/RNG outgrew the ladder) re-records
+        if int(n_left) <= _stale_tol(o.shape[0]):
             return res
         del _SCHED[key]  # stale: fall through to dynamic + re-record
         slack = min(slack * 2, 8)
@@ -255,7 +299,7 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
     # fused path: every segment's schedule known -> ONE dispatch per frame
     tags = _mode_tags(render_mode, gi_bounces)
     B = width * height
-    keys = [(id(wscene), wscene.n_mixed, t, B) for t in tags]
+    keys = [_sched_key(wscene, t, B) for t in tags]
     if use_static and all(k in _SCHED for k in keys) \
             and (render_mode != 0 or rng_mode == "glsl"):
         warrays = (wscene.l0_occ, wscene.l0_mixed, wscene.brick_slot,
@@ -271,11 +315,11 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             interpret=interpret, min_tiles=min_tiles,
             extra=(wavefront.DEFAULT_EXTRA
                    if wscene.grid_size <= 32 else 0))
-        stale = np.asarray(n_lefts)
+        stale = np.asarray(n_lefts) > _stale_tol(B)
         if not stale.any():
             return col, depth, it
         for i, k in enumerate(keys[:len(stale)]):
-            if stale[i] > 0:
+            if stale[i]:
                 _SCHED.pop(k, None)
         # fall through: per-segment path re-records the stale schedules
 

@@ -73,6 +73,20 @@ PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
 PACK_MISS = np.int32(-1)    # ray retired without a hit
 _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
 DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
+# Per-ray DDA-step kill switch, the analog of the reference's
+# MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
+# past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps
+# per segment (PERF_NOTES.md); only degenerate livelocks reach the cap.
+ITER_CAP = np.int32(4000)
+# Direction components are clamped to +-_DIR_EPS before 1/d: 1e-12 (the
+# old value) let near-axis bounce rays livelock — with |dz|~3e-8 the
+# per-step z movement t*dz is below the f32 ulp of a 1024-scale
+# coordinate, so the DDA's z state never advances (measured: 3 gi rays
+# pinned every gi1 ladder at max_rounds, ~4 s/frame).  1e-4 keeps the
+# minor-axis step above ulp(1024)=6e-5; worst-case hit drift over the
+# 1774-voxel world diagonal is 0.18 voxel.  brick_trace/brick_dda use
+# the same value (oracle lock-step).
+_DIR_EPS = np.float32(1e-4)
 
 # state tuple layouts (key first; (t, pack, it, rid) always last):
 #   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
@@ -475,7 +489,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             ox = zf0 + (c[0] - f32(1.0)) * f32(ws_world)
             oy = zf0 + (c[1] - f32(1.0)) * f32(ws_world)
             oz = zf0 + (c[2] - f32(1.0)) * f32(ws_world)
-        eps = np.float32(1e-12)
+        eps = _DIR_EPS
         dxc = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
         dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)
@@ -665,6 +679,12 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             dyn_rows = _bcast_rows(scratch_ref[:], 8)
             keyw, tw, packw, itw = crossing(
                 keyw, tw, packw, itw, [(ccand, slot_dyn, dyn_rows, None)])
+
+        # runaway guard (reference parity: svotrace.comp:41,264-266 —
+        # rays past the iteration cap exit the walk as a miss)
+        give_up = (keyw != KEY_DONE) & (itw >= ITER_CAP)
+        keyw = jnp.where(give_up, KEY_DONE, keyw)
+        packw = jnp.where(give_up, PACK_MISS, packw)
 
         keyo_ref[:] = keyw
         to_ref[:] = tw
@@ -1111,11 +1131,19 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
 
     rec_schedule = []
     pending = None   # deferred active-count device scalar
+    recent = []      # stall detector: deferred counts of recent rounds
     for r in range(1, max_rounds + 1):
         # block on the PREVIOUS round's count (already computed — near-
         # zero wait); it upper-bounds the current actives
         n = int(pending) if pending is not None else S
         if n == 0:
+            break
+        # stall break: a tiny active set that hasn't shrunk for several
+        # rounds is livelocked (pre-ITER_CAP pathology) — stop extending
+        # the ladder; the pending rays retire as misses in _finish.
+        recent.append(n)
+        if (len(recent) >= 6 and n <= max(64, S // 10000)
+                and all(c == n for c in recent[-6:])):
             break
         # static halving count for this round's fused dispatch;
         # schedule_slack>1 under-compacts so a replay tolerates variation

@@ -70,3 +70,25 @@ def test_mirror_values():
         ws, cam5, W, H, render_mode=0, frame_number=2, gi_bounces=1,
         mirror_values=(2,), interpret=True)
     assert _frac_close(ref_c, got_c) >= 0.97
+
+
+def test_schedule_persistence(tmp_path):
+    """save_schedules/load_schedules round-trip: a reloaded schedule
+    replays without re-recording (drives the bench.py cold-start path)."""
+    _, ws, cam5 = _setup()
+    render_wave._SCHED.clear()
+    col1, _, _ = render_wave.render_frame_wavefront(
+        ws, cam5, W, H, render_mode=0, frame_number=1, gi_bounces=1)
+    keys = set(render_wave._SCHED)
+    assert {k[2] for k in keys} == {"prim", "gi1"}
+    path = str(tmp_path / "sched.json")
+    render_wave.save_schedules(path)
+    render_wave._SCHED.clear()
+    assert render_wave.load_schedules(path) == len(keys)
+    assert set(render_wave._SCHED) == keys
+    col2, _, _ = render_wave.render_frame_wavefront(
+        ws, cam5, W, H, render_mode=0, frame_number=1, gi_bounces=1)
+    assert set(render_wave._SCHED) == keys, "replay must not re-record"
+    np.testing.assert_allclose(np.asarray(col1), np.asarray(col2),
+                               atol=1e-5)
+    assert render_wave.load_schedules(str(tmp_path / "absent.json")) == 0

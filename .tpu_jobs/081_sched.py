@@ -1,0 +1,108 @@
+"""Record 1080p traversal schedules for the 1024^3 bench scene on the
+serve-loop engine, prove frame-invariance over 20 consecutive frame
+numbers (zero re-records — r2 lost its bench to a mid-warmup re-record),
+time steady 1-bounce and 3-bounce frames, and persist the schedules to
+BOTH the bench cache and the checked-in snapshot."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, REPO)
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import bench  # noqa: E402
+from svo_raytracer_tpu.ops import render_wave, wavefront  # noqa: E402
+from svo_raytracer_tpu.utils.camera import Camera  # noqa: E402
+
+
+def out(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+CACHE = os.path.join(REPO, ".bench_cache")
+world_size, chunk = 1024, 512
+width, height = 1920, 1080
+
+tree, _ = bench.build_scene(world_size, chunk)
+wsc = wavefront.prepare(bench.build_brick_scene(tree, world_size))
+jax.block_until_ready(wsc.attr_comb)
+out(kind="scene", n_mixed=wsc.n_mixed, fp=wsc.fingerprint)
+
+# same camera placement as bench.py main()
+gx = np.linspace(1.2, 1.8, 5, dtype=np.float32)
+pxz = np.stack(np.meshgrid(gx, gx, indexing="ij"), -1).reshape(-1, 2)
+probe_o = np.concatenate([pxz[:, :1], np.full((25, 1), 1.999, np.float32),
+                          pxz[:, 1:]], axis=1)
+probe_d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (25, 1))
+probe = wavefront.intersect_wavefront(wsc, jnp.asarray(probe_o),
+                                      jnp.asarray(probe_d))
+ts = np.asarray(probe.t)
+best = int(np.argmax(ts))
+surf_y = 1.999 - float(ts[best])
+cam = Camera(pos=np.array([probe_o[best, 0], min(surf_y + 0.05, 1.99),
+                           probe_o[best, 2]]))
+cam.rotate(-0.35, 0.4)
+cam5 = jnp.asarray(cam.uniform(), jnp.float32)
+out(kind="camera", y=round(float(cam.pos[1]), 3))
+
+
+def frame(n, bounces):
+    color, depth, iters = render_wave.render_frame_wavefront(
+        wsc, cam5, width, height, render_mode=0, frame_number=n,
+        gi_bounces=bounces)
+    return color
+
+
+t0 = time.time()
+frame(1, 1).block_until_ready()
+out(kind="first_frame_gi1", s=round(time.time() - t0, 1),
+    scheds={("|".join(map(str, k))): list(v[0])
+            for k, v in render_wave._SCHED.items()})
+
+# ---- frame invariance: 20 consecutive frame numbers, zero re-records
+snap = dict(render_wave._SCHED)
+rerecords = 0
+t_frames = []
+for n in range(2, 22):
+    t0 = time.time()
+    frame(n, 1).block_until_ready()
+    t_frames.append(round(time.time() - t0, 3))
+    if render_wave._SCHED != snap:
+        rerecords += 1
+        snap = dict(render_wave._SCHED)
+        out(kind="rerecord", frame=n,
+            scheds={("|".join(map(str, k))): list(v[0])
+                    for k, v in render_wave._SCHED.items()})
+out(kind="invariance", rerecords=rerecords, frame_s=t_frames)
+
+# ---- steady 1-bounce timing (module-level loop + final readback)
+N = 8
+t0 = time.time()
+for i in range(N):
+    col = frame(2 + (i % 5), 1)
+col.block_until_ready()
+dt = (time.time() - t0) / N
+out(kind="steady_gi1", frame_ms=round(dt * 1e3, 1),
+    mrays=round(2 * width * height / dt / 1e6, 2))
+
+# ---- 3-bounce
+t0 = time.time()
+frame(1, 3).block_until_ready()
+out(kind="first_frame_gi3", s=round(time.time() - t0, 1))
+for n in range(2, 8):
+    frame(n, 3).block_until_ready()
+t0 = time.time()
+for i in range(N):
+    col3 = frame(2 + (i % 5), 3)
+col3.block_until_ready()
+dt3 = (time.time() - t0) / N
+out(kind="steady_gi3", frame_ms=round(dt3 * 1e3, 1),
+    mrays=round(4 * width * height / dt3 / 1e6, 2))
+
+render_wave.save_schedules(os.path.join(CACHE, "wave_schedules.json"))
+render_wave.save_schedules(os.path.join(
+    REPO, "svo_raytracer_tpu", "data", "wave_schedules.json"))
+out(kind="saved", n=len(render_wave._SCHED))

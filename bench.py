@@ -133,11 +133,11 @@ def main():
     def save_scheds():
         os.makedirs(CACHE_DIR, exist_ok=True)
         render_wave.save_schedules(sched_cache)
-        try:
+        # the checked-in snapshot is updated only on request — a default
+        # bench run must not dirty the git tree (ADVICE r2)
+        if os.environ.get("BENCH_COMMIT_SCHEDS"):
             os.makedirs(os.path.dirname(SCHED_REPO), exist_ok=True)
             render_wave.save_schedules(SCHED_REPO)
-        except OSError:
-            pass
 
     world_size = 64 if small else 1024
     chunk_size = 64 if small else 512
@@ -207,10 +207,22 @@ def main():
     mrays = rays_per_frame / dt / 1e6
     print(f"# steady frame: {dt * 1000:.1f} ms", file=sys.stderr)
 
-    # 3-bounce row — comparable to the reference's benchmarks.md:5
+    # The headline row prints the moment a steady 1-bounce number exists
+    # — the r2 bench starved it behind the 3-bounce extras and timed out
+    # with NO driver-visible number (VERDICT r2).  Extras follow on
+    # stderr + .bench_cache/bench_extra.json only.
+    row = {
+        "metric": "Mrays/s/chip (1024^3 pathtraced GI)" if not small
+                  else "Mrays/s/chip (small smoke)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "frame_ms": round(dt * 1e3, 1),
+    }
+    print(json.dumps(row), flush=True)
+
+    # 3-bounce extra — comparable to the reference's benchmarks.md:5
     # ("3 bounces, dead rays culled"; compaction IS the culling here).
-    # Cold-cache discovery+compile of the two extra segments costs
-    # ~10 min through the tunnel: skip when the budget can't carry it.
     dt3 = None
     gi3_keys = [render_wave._sched_key(wsc, t, width * height)
                 for t in ("prim", "gi1", "gi2", "gi3")]
@@ -229,25 +241,16 @@ def main():
             print(f"# 3-bounce frame: {dt3 * 1000:.1f} ms "
                   f"({4 * width * height / dt3 / 1e6:.1f} Mrays/s)",
                   file=sys.stderr)
-        except Exception as e:  # never lose the headline row to the extra
-            print(f"# 3-bounce row failed: {e!r}", file=sys.stderr)
+            extra = dict(row, gi3_frame_ms=round(dt3 * 1e3, 1),
+                         gi3_mrays=round(4 * width * height / dt3 / 1e6, 3))
+            with open(os.path.join(CACHE_DIR, "bench_extra.json"), "w") as f:
+                json.dump(extra, f)
+        except Exception as e:  # the headline row is already out
+            print(f"# 3-bounce extra failed: {e!r}", file=sys.stderr)
     else:
-        print(f"# skipping 3-bounce row (budget left {left():.0f}s)",
+        print(f"# skipping 3-bounce extra (budget left {left():.0f}s)",
               file=sys.stderr)
     save_scheds()
-
-    row = {
-        "metric": "Mrays/s/chip (1024^3 pathtraced GI)" if not small
-                  else "Mrays/s/chip (small smoke)",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-        "frame_ms": round(dt * 1e3, 1),
-    }
-    if dt3 is not None:
-        row["gi3_frame_ms"] = round(dt3 * 1e3, 1)
-        row["gi3_mrays"] = round(4 * width * height / dt3 / 1e6, 3)
-    print(json.dumps(row))
 
 
 if __name__ == "__main__":

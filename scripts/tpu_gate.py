@@ -100,7 +100,26 @@ def main():
     emit(dict(kind="camera_and_static_compiled", ok=bool(ok2),
               cam_agree=round(cam_agree, 5), static_agree=round(st_agree, 5),
               n_left=int(n_left)))
-    if not (ok and ok2):
+
+    # sharded wavefront path, COMPILED (a 1-device tiles mesh on the real
+    # chip: exercises the shard_map-wrapped Pallas ladder through Mosaic —
+    # r2 only ever ran it interpret=True on the virtual CPU mesh)
+    from svo_raytracer_tpu.parallel import mesh as mesh_mod  # noqa: E402
+    from svo_raytracer_tpu.parallel import render_wave_sharded as rws  # noqa
+    m1 = mesh_mod.tile_mesh(1)
+    scheds = ((0, 0, 0),)
+    render_sh = rws.make_wave_sharded_render(m1, W, WD, HT, scheds,
+                                             render_mode=3, interpret=False)
+    img_sh, nl_sh = render_sh(rws._warrays(W), cam5, 1)
+    img_sh = np.asarray(img_sh)
+    ref_img = np.asarray(r_dyn.hit).reshape(HT, WD)
+    sh_hit = img_sh.sum(-1) > 0
+    sh_agree = float((sh_hit == ref_img).mean())
+    ok3 = (int(nl_sh) <= max(8, (WD * HT) // 10000) and sh_agree >= 0.995
+           and np.isfinite(img_sh).all())
+    emit(dict(kind="sharded_wavefront_compiled", ok=bool(ok3),
+              hit_agree=round(sh_agree, 5), n_left=int(nl_sh)))
+    if not (ok and ok2 and ok3):
         raise AssertionError("gate FAILED — see gate.jsonl")
     print("gate OK")
 

@@ -45,8 +45,11 @@ class Viewer(Application):
         self.cam = Camera(pos=np.array([1.5, 1.5, 2.0]))
         self.speed = 0.02
         if engine == "auto":
+            # the wavefront engine covers 32^3..2048^3 (G<=64; the G>32
+            # slot lookup DMAs from HBM, ops/wavefront._vote_slot —
+            # proven on-chip by the 2048^3 NZ renders, .tpu_jobs/074)
             engine = ("wavefront" if tree.world_size >= 32
-                      and tree.world_size <= 1024 else "esvo")
+                      and tree.world_size <= 2048 else "esvo")
         self.engine = engine
         self._accum = None      # progressive mode-0 accumulation buffer
         self._accum_n = 0

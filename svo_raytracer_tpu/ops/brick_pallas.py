@@ -169,7 +169,11 @@ def _round_kernel(G, inner_steps, l0_steps, resolve_attr,
         act = act_ref[:]
         px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        eps = np.float32(1e-12)
+        # 1e-4, lock-step with wavefront._DIR_EPS / brick_trace._clamp_dir
+        # (the r2 near-axis livelock rationale there): this v1 engine is
+        # superseded by ops/wavefront.py but stays contract-tested, so it
+        # must clamp identically to its brick_trace oracle
+        eps = np.float32(1e-4)
         dxc = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
         dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)

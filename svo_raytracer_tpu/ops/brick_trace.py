@@ -134,13 +134,19 @@ def _march(pos, d, extent, cell, probe, max_steps, active):
     return hit, ix, iy, iz, t, inside, steps
 
 
-def decode_hits(ws, origins, dirs, hit, attr, vx, vy, vz, t_vox, iters):
+def decode_hits(ws, origins, dirs, hit, attr, vx, vy, vz, t_vox, iters,
+                node=None):
     """Assemble a HitResult from brick-path hit records.
 
     attr: packed value|raw_normal<<8|depth<<24 (brick_scene._attr_word);
     (vx,vy,vz): global voxel coords of the hit voxel; t_vox: hit distance
     in voxel units along ``dirs``.  Decode math mirrors
     traverse._decode (svotrace.comp:380-431).
+
+    ``node``: brick engines have no node table, so the field defaults to
+    -1; the wavefront path passes its attr_comb index instead — a stable
+    per-voxel id the differentiable renderer (diff/wave_diff.py) keys
+    learnable parameters by.
     """
     value = attr & 0xFF
     raw = (attr >> 8) & 0xFFFF
@@ -174,7 +180,7 @@ def decode_hits(ws, origins, dirs, hit, attr, vx, vy, vz, t_vox, iters):
         hit=hit, value=value, t=t, iters=iters, scale_exp2=scale_exp2,
         depth=jnp.where(hit, depth, 0), normal=normal,
         hit_pos=hit_pos, voxel_pos=voxel_pos,
-        node=jnp.full(hit.shape, -1, i32),
+        node=(jnp.full(hit.shape, -1, i32) if node is None else node),
     )
 
 

@@ -55,7 +55,11 @@ _SCHED: dict = {}
 
 
 def _sched_key(wscene, tag, B):
-    return (wscene.world_size, wscene.n_mixed, tag, B)
+    # fingerprint (ops/wavefront._scene_fingerprint) keeps two scenes
+    # with coincidentally equal (world_size, n_mixed) from swapping
+    # persisted ladders (a wrong-scene replay strands <= _stale_tol rays
+    # silently, rendering them as misses)
+    return (wscene.world_size, wscene.n_mixed, wscene.fingerprint, tag, B)
 
 
 def save_schedules(path):
@@ -80,10 +84,16 @@ def load_schedules(path):
         return 0
     with open(path) as f:
         data = json.load(f)
+    n = 0
     for k, (sched, slack) in data.items():
-        ws, nm, tag, b = k.split("|")
-        _SCHED[(int(ws), int(nm), tag, int(b))] = (tuple(sched), int(slack))
-    return len(data)
+        parts = k.split("|")
+        if len(parts) != 5:
+            continue  # pre-fingerprint entry (r2 format): obsolete ladder
+        ws, nm, fp, tag, b = parts
+        _SCHED[(int(ws), int(nm), int(fp), tag, int(b))] = (
+            tuple(sched), int(slack))
+        n += 1
+    return n
 
 
 def _stale_tol(B):
@@ -213,10 +223,10 @@ def _mode_tags(render_mode, gi_bounces):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "render_mode", "gi_bounces", "mirror_values",
     "schedules", "G", "NM", "ws", "capacity", "early_exit", "interpret",
-    "min_tiles", "extra"))
+    "min_tiles", "extra", "serve"))
 def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
                   gi_bounces, mirror_values, schedules, G, NM, ws, capacity,
-                  early_exit, interpret, min_tiles, extra):
+                  early_exit, interpret, min_tiles, extra, serve):
     """One whole frame — every traversal segment (static schedules) plus
     all shading stages — as a single jitted dispatch.  The reference pays
     1-2 kernel dispatches per frame (Main.java:257-288); this is the
@@ -233,7 +243,7 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
             o, d, act, cam if cam_dims is not None else None, warrays,
             tuple(sched), B, G, NM, ws, capacity, inner_cap, l0_cap,
             early_exit, interpret, 1, True, cam_dims, min_tiles,
-            extra=extra)
+            extra=extra, serve=serve)
 
     cdims = (width, height, ws)
     n_lefts = []
@@ -314,7 +324,8 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             capacity=wscene.capacity, early_exit=early_exit,
             interpret=interpret, min_tiles=min_tiles,
             extra=(wavefront.DEFAULT_EXTRA
-                   if wscene.grid_size <= 32 else 0))
+                   if wscene.grid_size <= 32 else 0),
+            serve=wavefront.DEFAULT_SERVE)
         stale = np.asarray(n_lefts) > _stale_tol(B)
         if not stale.any():
             return col, depth, it

@@ -73,6 +73,18 @@ PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
 PACK_MISS = np.int32(-1)    # ray retired without a hit
 _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
 DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
+# In-kernel serve loop bound (crossings served per tile per round).  The
+# serve loop (a lax.while_loop, NOT an unroll — compile time is flat in
+# this number) repeatedly votes the tile's min pending brick cell, DMAs
+# its 4 KB occupancy block HBM->VMEM, and runs one crossing, until every
+# lane retires.  This is what lets ONE dispatch complete a whole
+# traversal segment: without it a tile only progresses on its KMAX=4
+# static candidate cells per sorted round, so incoherent (random/bounce)
+# rays spanning hundreds of cells per tile starved the round ladder
+# (measured r2: gate hit_agree 0.784 from round exhaustion; 99-round gi1
+# ladders).  Rays still pending at the bound punt to the next sorted
+# round — the ladder is the backstop, not the workhorse.
+DEFAULT_SERVE = 4096
 # Per-ray DDA-step kill switch, the analog of the reference's
 # MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
 # past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps
@@ -120,6 +132,23 @@ class WaveScene:
     l0_sc: Any = None      # (1, 128) i32 — (G/8)^3 super-L0 bits, bit
                            # (sx*n+sy)*n+sz = any occupied brick in the
                            # 8^3 brick group
+    fingerprint: int = 0   # cheap scene-content hash: keys the persisted
+                           # schedule cache so two scenes with equal
+                           # (world_size, n_mixed) can't swap ladders
+
+
+def _scene_fingerprint(scene):
+    """Cheap host-side content hash of the L0 layout (which cells are
+    mixed/uniform — the geometry that shapes traversal ladders).  Avoids
+    hashing the 100s-of-MB attrs; two scenes that differ only in attrs
+    traverse identically, so sharing schedules between them is correct."""
+    slot = np.asarray(scene.brick_slot, np.int64)
+    ba = np.asarray(scene.brick_attr, np.int64)
+    mix = (slot >= 0).astype(np.int64)
+    uni = (ba != 0).astype(np.int64)
+    idx = np.arange(slot.shape[0], dtype=np.int64)
+    return int((np.sum(mix * (idx % 8191)) * 31
+                + np.sum(uni * (idx % 8191))) % 99991)
 
 
 def _l0_mixed_table(scene):
@@ -194,6 +223,7 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
     cells = np.nonzero(slot_np >= 0)[0]
     slot_cell[slot_np[cells]] = cells.astype(np.int32)
     return WaveScene(
+        fingerprint=_scene_fingerprint(scene),
         world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
         capacity=capacity,
         l0_occ=jnp.asarray(scene.l0_table, i32),
@@ -250,7 +280,8 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
         l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
         brick_slot=brick_slot, occ_words=occ_words, attr_comb=attr_comb,
         slot_cell=slot_cell, sc_words=sc_words,
-        l0_sc=jnp.asarray(_l0_super_words(scene), i32))
+        l0_sc=jnp.asarray(_l0_super_words(scene), i32),
+        fingerprint=_scene_fingerprint(scene))
 
 
 # -------------------------------------------------------------------- kernel
@@ -397,7 +428,7 @@ def _bcast_rows(block, n):
 
 
 def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
-               sc_skip, *args):
+               sc_skip, serve, *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     explicit mode (cam_dims=None) args:
@@ -422,20 +453,25 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     import jax.experimental.pallas as pl  # local: keeps CPU-importable
     from jax.experimental.pallas import tpu as pltpu
 
+    need_dyn = bool(extra) or bool(serve)
     args = list(args)
     tslot_ref = args.pop(0)
     tcell_ref = args.pop(0)
     if cam_dims is not None:
         W, H, ws_world = cam_dims
         cam_ref = args.pop(0)
-    bslot_ref = args.pop(0) if extra else None
+    bslot_ref = args.pop(0) if (need_dyn and G <= 32) else None
     l0_ref = args.pop(0)
     mx_ref = args.pop(0)
     l0sc_ref = args.pop(0)
     occ_refs = [args.pop(0) for _ in range(KMAX)]
     sc_refs = [args.pop(0) for _ in range(KMAX)]
-    occ_hbm_ref = args.pop(0) if extra else None
-    if extra:
+    occ_hbm_ref = args.pop(0) if need_dyn else None
+    bslot_hbm_ref = args.pop(0) if (need_dyn and G > 32) else None
+    if need_dyn:
+        if G > 32:
+            slot_sem = args.pop()
+            slot_scr = args.pop()
         dma_sem = args.pop()
         scratch_ref = args.pop()
     if cam_dims is None:
@@ -463,7 +499,12 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     for j in range(1, KMAX):
         in_cells0 = in_cells0 | (key0 == cells[j])
 
-    @pl.when(jnp.any(in_cells0 | (key0 == KEY_INIT)))
+    # serve mode can advance ANY pending lane (the loop fetches whatever
+    # block it needs), so its tile gate is simply "anything left to do"
+    tile_gate = (jnp.any(key0 != KEY_DONE) if serve
+                 else jnp.any(in_cells0 | (key0 == KEY_INIT)))
+
+    @pl.when(tile_gate)
     def _tile():
         if cam_dims is None:
             ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -663,22 +704,63 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         # DMAing its occupancy block in-kernel, so coherent rays cross
         # several bricks per sorted round instead of punting (the static
         # tile candidates only cover the cells known BEFORE the round).
-        for _e in range(extra):
+        def _vote_slot(keyw):
+            """Min pending cell across the tile + its mixed slot.  A
+            tile with no pending lane votes cmin==KEY_DONE, which would
+            MATCH done lanes (their key IS KEY_DONE) and reprocess them;
+            neuter the candidate to -1 (matches nothing) in that case."""
             pend = (keyw >= 0) & (keyw < KEY_DONE)
             cmin = jnp.min(jnp.where(pend, keyw, KEY_DONE))
-            # no pending lane -> cmin==KEY_DONE, which would MATCH done
-            # lanes (their key IS KEY_DONE) and reprocess them; neuter
-            # the candidate to -1 (matches nothing) in that case
             ccand = jnp.where(cmin < KEY_DONE, cmin, i32(-1))
             csafe = jnp.clip(cmin, 0, G * G * G - 1)
-            slot_dyn = jnp.maximum(bslot_ref[csafe], 0)
+            if G <= 32:
+                slot_dyn = jnp.maximum(bslot_ref[csafe], 0)
+            else:
+                # the G^3 cell->slot map exceeds the SMEM prefetch
+                # budget at G=64; fetch the single word by DMA instead
+                cpy = pltpu.make_async_copy(
+                    bslot_hbm_ref.at[pl.ds(csafe, 1)], slot_scr, slot_sem)
+                cpy.start()
+                cpy.wait()
+                slot_dyn = jnp.maximum(slot_scr[0], 0)
+            return ccand, slot_dyn
+
+        def _fetch_cross(keyw, tw, packw, itw, ccand, slot_dyn):
             dma = pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
                                         scratch_ref, dma_sem)
             dma.start()
             dma.wait()
             dyn_rows = _bcast_rows(scratch_ref[:], 8)
-            keyw, tw, packw, itw = crossing(
-                keyw, tw, packw, itw, [(ccand, slot_dyn, dyn_rows, None)])
+            return crossing(keyw, tw, packw, itw,
+                            [(ccand, slot_dyn, dyn_rows, None)])
+
+        for _e in range(extra):
+            ccand, slot_dyn = _vote_slot(keyw)
+            keyw, tw, packw, itw = _fetch_cross(keyw, tw, packw, itw,
+                                                ccand, slot_dyn)
+
+        if serve:
+            # serve loop (module constant DEFAULT_SERVE rationale): keep
+            # crossing until the tile is drained or the bound trips.
+            # A lax.while_loop, so Mosaic compiles ONE crossing body
+            # regardless of the bound (the unrolled ``extra``/``cont``
+            # variants measured minutes of compile per step, r2).
+            def _serve_cond(c):
+                return (c[4] < serve) & jnp.any(c[0] != KEY_DONE)
+
+            def _serve_body(c):
+                keyw, tw, packw, itw, srv = c
+                ccand, slot_dyn = _vote_slot(keyw)
+                keyw, tw, packw, itw = _fetch_cross(keyw, tw, packw, itw,
+                                                    ccand, slot_dyn)
+                give = (keyw != KEY_DONE) & (itw >= ITER_CAP)
+                keyw = jnp.where(give, KEY_DONE, keyw)
+                packw = jnp.where(give, PACK_MISS, packw)
+                return keyw, tw, packw, itw, srv + 1
+
+            keyw, tw, packw, itw, _srv = jax.lax.while_loop(
+                _serve_cond, _serve_body,
+                (keyw, tw, packw, itw, jnp.asarray(0, i32)))
 
         # runaway guard (reference parity: svotrace.comp:41,264-266 —
         # rays past the iteration cap exit the walk as a miss)
@@ -695,25 +777,29 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
                  cont=1, cam=None, cam_dims=None, extra=0, brick_slot=None,
-                 sc_words=None, sc_skip=True, l0_sc=None):
+                 sc_words=None, sc_skip=True, l0_sc=None, serve=0):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
     round bodies).  ``cam``/(static) ``cam_dims`` select camera mode;
-    ``extra`` enables the in-kernel dynamic continuation (needs
-    ``brick_slot``)."""
+    ``extra``/``serve`` enable the in-kernel dynamic continuation / serve
+    loop (both need ``brick_slot``)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    need_dyn = bool(extra) or bool(serve)
     if extra:
-        assert G <= 32 and brick_slot is not None
+        assert G <= 32
+    if need_dyn:
+        assert brick_slot is not None
     T = tile_slot.shape[0]
     key = state[0]
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
-                             early_exit, cont, cam_dims, extra, sc_skip)
+                             early_exit, cont, cam_dims, extra, sc_skip,
+                             serve)
     scalars = ()
     if cam_dims is not None:
         scalars += (cam.astype(f32),)
-    if extra:
+    if need_dyn and G <= 32:
         scalars += (brick_slot,)
     nsp = 2 + len(scalars)
 
@@ -742,11 +828,16 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                   pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_sc
         + [occ_spec(j) for j in range(KMAX)]
         + [sc_spec(j) for j in range(KMAX)]
-        + ([pl.BlockSpec(memory_space=pltpu.ANY)] if extra else [])
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if need_dyn else [])
+        + ([pl.BlockSpec(memory_space=pl.ANY)]
+           if need_dyn and G > 32 else [])
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
-        scratch_shapes=([pltpu.VMEM((8, LANES), i32),
-                         pltpu.SemaphoreType.DMA] if extra else []),
+        scratch_shapes=(
+            ([pltpu.VMEM((8, LANES), i32), pltpu.SemaphoreType.DMA]
+             + ([pltpu.SMEM((1,), i32), pltpu.SemaphoreType.DMA]
+                if G > 32 else []))
+            if need_dyn else []),
     )
 
     def rs(a):
@@ -757,7 +848,9 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     else:
         ins = [rs(a) for a in state]                # key, t, pack, it, rid
 
-    hbm_extra = (occ_words,) if extra else ()
+    hbm_extra = (occ_words,) if need_dyn else ()
+    if need_dyn and G > 32:
+        hbm_extra += (brick_slot,)
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
         out_shape=tuple(
@@ -775,13 +868,13 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
 
 _run_kernel = functools.partial(jax.jit, static_argnames=(
     "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims", "extra", "sc_skip"))(_call_kernel)
+    "interpret", "cam_dims", "extra", "sc_skip", "serve"))(_call_kernel)
 
 
 def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                 opack, ot, oit, halvings, G, NM, inner_cap, l0_cap,
                 early_exit, interpret, cont=1, cam=None, cam_dims=None,
-                extra=0, sc_words=None, sc_skip=True, l0_sc=None):
+                extra=0, sc_words=None, sc_skip=True, l0_sc=None, serve=0):
     """One full wavefront round: sort + tile tables + ``halvings``
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
@@ -800,13 +893,14 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                           srt, G, NM, inner_cap, l0_cap, early_exit,
                           interpret, cont, cam=cam, cam_dims=cam_dims,
                           extra=extra, brick_slot=brick_slot,
-                          sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc)
+                          sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc,
+                          serve=serve)
     return state2, (opack, ot, oit), n_act
 
 
 _round_fused = functools.partial(jax.jit, static_argnames=(
     "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims", "extra", "sc_skip"),
+    "interpret", "cam_dims", "extra", "sc_skip", "serve"),
     donate_argnums=(0, 5, 6, 7))(_round_body)
 
 
@@ -952,8 +1046,11 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
     vx = jnp.where(hit, vx, -1)
     vy = jnp.where(hit, vy, -1)
     vz = jnp.where(hit, vz, -1)
+    # node := the attr_comb index — a stable per-voxel id the
+    # differentiable path (diff/wave_diff.py) keys parameters by
     return brick_trace.decode_hits(ws, origins.astype(f32), dirs.astype(f32),
-                                   hit, attr, vx, vy, vz, t_vox, oit[:B])
+                                   hit, attr, vx, vy, vz, t_vox, oit[:B],
+                                   node=jnp.where(hit, aidx, -1))
 
 
 def _resolve_caps(G):
@@ -963,7 +1060,7 @@ def _resolve_caps(G):
 def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                 NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
                 cont, local_round1, cam_dims, min_tiles, extra=0,
-                sc_skip=True):
+                sc_skip=True, serve=0):
     """The full round ladder as one traceable function (static
     ``schedule`` = per-round halving counts recorded by a dynamic run).
     Returns (HitResult, n_left) — n_left>0 means the replayed schedule
@@ -992,13 +1089,13 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              early_exit, interpret, cont, cam=cam,
                              cam_dims=cam_dims, extra=extra,
                              brick_slot=brick_slot, sc_words=sc_words,
-                             sc_skip=sc_skip, l0_sc=l0_sc)
+                             sc_skip=sc_skip, l0_sc=l0_sc, serve=serve)
     for h in schedule:
         state, bufs, _n = _round_body(
             state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
             cam=cam, cam_dims=cam_dims, extra=extra, sc_words=sc_words,
-            sc_skip=sc_skip, l0_sc=l0_sc)
+            sc_skip=sc_skip, l0_sc=l0_sc, serve=serve)
         opack, ot, oit = bufs
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
@@ -1011,7 +1108,7 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
 _trace_static = functools.partial(jax.jit, static_argnames=(
     "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
     "early_exit", "interpret", "cont", "local_round1", "cam_dims",
-    "min_tiles", "extra", "sc_skip"))(_trace_body)
+    "min_tiles", "extra", "sc_skip", "serve"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
@@ -1020,7 +1117,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         min_tiles=2, cont=1, local_round1=True,
                         defer_sync=True, profile=None, camera=None,
                         schedule=None, schedule_slack=1, extra=None,
-                        sc_skip=True):
+                        sc_skip=True, serve=None):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -1058,6 +1155,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         interpret = jax.default_backend() == "cpu"
     if extra is None:
         extra = DEFAULT_EXTRA if G <= 32 else 0
+    if serve is None:
+        serve = DEFAULT_SERVE
     inner_cap, l0_cap = _resolve_caps(G)
 
     cam = None
@@ -1085,7 +1184,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             inner_cap=inner_cap, l0_cap=l0_cap, early_exit=early_exit,
             interpret=interpret, cont=cont, local_round1=local_round1,
             cam_dims=cam_dims, min_tiles=min_tiles, extra=extra,
-            sc_skip=sc_skip)
+            sc_skip=sc_skip, serve=serve)
         return res, n_left
 
     # ---------------- dynamic round loop (schedule discovery) ----------
@@ -1123,27 +1222,23 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             cont=cont, cam=cam, cam_dims=cam_dims,
                             extra=extra, brick_slot=wscene.brick_slot,
                             sc_words=wscene.sc_words, sc_skip=sc_skip,
-                            l0_sc=wscene.l0_sc)
+                            l0_sc=wscene.l0_sc, serve=serve)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,
                      active=int(jnp.sum(state[0] != KEY_DONE))))
 
     rec_schedule = []
-    pending = None   # deferred active-count device scalar
-    recent = []      # stall detector: deferred counts of recent rounds
+    # with the serve loop the local round usually drains EVERYTHING —
+    # check before paying for a full-size sorted round (one ms-scale
+    # scalar sync; the ladder then starts only if rays actually punted)
+    pending = (jnp.sum((state[0] != KEY_DONE).astype(i32))
+               if (serve and local_round1) else None)
     for r in range(1, max_rounds + 1):
         # block on the PREVIOUS round's count (already computed — near-
         # zero wait); it upper-bounds the current actives
         n = int(pending) if pending is not None else S
         if n == 0:
-            break
-        # stall break: a tiny active set that hasn't shrunk for several
-        # rounds is livelocked (pre-ITER_CAP pathology) — stop extending
-        # the ladder; the pending rays retire as misses in _finish.
-        recent.append(n)
-        if (len(recent) >= 6 and n <= max(64, S // 10000)
-                and all(c == n for c in recent[-6:])):
             break
         # static halving count for this round's fused dispatch;
         # schedule_slack>1 under-compacts so a replay tolerates variation
@@ -1160,7 +1255,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             early_exit=early_exit, interpret=interpret, cont=cont,
             cam=cam, cam_dims=cam_dims, extra=extra,
             sc_words=wscene.sc_words, sc_skip=sc_skip,
-            l0_sc=wscene.l0_sc)
+            l0_sc=wscene.l0_sc, serve=serve)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)
         pending = n_act

@@ -125,7 +125,7 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
 def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
                              schedules, render_mode=0, gi_bounces=1,
                              interpret=None, extra=0, min_tiles=2,
-                             interleave=True):
+                             interleave=True, serve=None):
     """Jitted ``render(warrays, cam5, frame_number) -> (col, n_left)``
     with rows sharded over ``tiles`` and the wavefront engine per shard.
     ``warrays`` = ``_warrays(wscene)`` (passed explicitly so updated
@@ -140,13 +140,16 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
     inner_cap, l0_cap = _resolve_caps(G)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if serve is None:
+        serve = wavefront.DEFAULT_SERVE
     B = rows * width
     rep = P()
 
     def trace(o, d, act, warr, sched):
         return _trace_body(o, d, act, None, warr, tuple(sched), B, G, cap,
                            ws_sz, cap, inner_cap, l0_cap, True, interpret,
-                           1, True, None, min_tiles, extra=extra)
+                           1, True, None, min_tiles, extra=extra,
+                           serve=serve)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

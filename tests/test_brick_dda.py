@@ -15,7 +15,7 @@ from svo_raytracer_tpu.ops import brick_dda
 def dda_oracle(vox, o, d, max_steps):
     """Scalar amanatides-woo DDA; returns (hit, t_entry, cell)."""
     G = vox.shape[0]
-    eps = 1e-12
+    eps = 1e-4  # lock-step with the kernel's near-axis clamp (r2 fix)
     d = np.where(np.abs(d) < eps, np.where(d >= 0, eps, -eps), d)
     inv = 1.0 / d
     t1 = (0.0 - o) * inv
@@ -117,3 +117,33 @@ def test_active_mask_and_miss():
     assert np.asarray(out["cell"])[0].tolist() == [8, 8, 8]
     # entry distance: ray travels 5 + 8 units to the cell's z face
     assert abs(float(np.asarray(out["t"])[0]) - 13.0) < 1e-2
+
+
+def test_near_axis_direction_clamped():
+    """Directions with a component inside the 1e-4 clamp window must hit
+    the same cells as the clamped oracle — pins the r2 livelock fix
+    (kernel and oracle both snap |d|<1e-4 components to +-1e-4)."""
+    G = 32
+    rng = np.random.default_rng(99)
+    vox = rng.random((G, G, G)) < 0.05
+    tab = brick_dda.table_rows(brick_dda.pack_occupancy(vox))
+    B = 64
+    o = rng.uniform(2, G - 2, (B, 3)).astype(np.float32)
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    # force one component into the 1e-12..1e-4 window the old eps missed
+    ax = rng.integers(0, 3, B)
+    mag = rng.uniform(1e-8, 9e-5, B).astype(np.float32)
+    d[np.arange(B), ax] = np.where(d[np.arange(B), ax] >= 0, mag, -mag)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    out = brick_dda.coarse_dda(tab, jnp.asarray(o), jnp.asarray(d),
+                               grid_size=G, interpret=True)
+    hit = np.asarray(out["hit"])
+    cell = np.asarray(out["cell"])
+    n_agree = 0
+    for i in range(B):
+        want_hit, _, want_cell = dda_oracle(vox, o[i].astype(np.float64),
+                                            d[i].astype(np.float64), 3 * G)
+        if want_hit == bool(hit[i]) and (
+                not want_hit or (cell[i] == want_cell).all()):
+            n_agree += 1
+    assert n_agree >= B * 0.95, f"{n_agree}/{B}"

@@ -80,7 +80,7 @@ def test_schedule_persistence(tmp_path):
     col1, _, _ = render_wave.render_frame_wavefront(
         ws, cam5, W, H, render_mode=0, frame_number=1, gi_bounces=1)
     keys = set(render_wave._SCHED)
-    assert {k[2] for k in keys} == {"prim", "gi1"}
+    assert {k[3] for k in keys} == {"prim", "gi1"}  # (ws, nm, fp, tag, B)
     path = str(tmp_path / "sched.json")
     render_wave.save_schedules(path)
     render_wave._SCHED.clear()

@@ -140,7 +140,8 @@ def test_camera_mode_matches_explicit():
 
 def test_extra_dynamic_continuation():
     """extra>0 (in-kernel DMA continuation) must agree exactly with
-    extra=0 and converge in fewer sorted rounds."""
+    extra=0 and converge in fewer sorted rounds (serve disabled so the
+    ladder actually exercises the per-round continuation)."""
     vox = make_terrain_voxels(64, seed=7)
     tree = build_np.build_octree_np(vox)
     ws = wavefront.prepare(brick_scene.brickify(tree))
@@ -148,9 +149,9 @@ def test_extra_dynamic_continuation():
     o, d = jnp.asarray(o), jnp.asarray(d)
     p0, p2 = {}, {}
     r0 = wavefront.intersect_wavefront(ws, o, d, interpret=True, extra=0,
-                                       profile=p0)
+                                       profile=p0, serve=0)
     r2 = wavefront.intersect_wavefront(ws, o, d, interpret=True, extra=2,
-                                       profile=p2)
+                                       profile=p2, serve=0)
     assert np.array_equal(np.asarray(r0.hit), np.asarray(r2.hit))
     both = np.asarray(r0.hit)
     assert np.allclose(np.asarray(r0.t)[both], np.asarray(r2.t)[both],
@@ -160,9 +161,55 @@ def test_extra_dynamic_continuation():
     assert len(p2["schedule"]) < len(p0["schedule"])
     # static replay composes with extra
     got, n_left = wavefront.intersect_wavefront(
-        ws, o, d, interpret=True, extra=2, schedule=p2["schedule"])
+        ws, o, d, interpret=True, extra=2, serve=0, schedule=p2["schedule"])
     assert int(n_left) == 0
     assert np.array_equal(np.asarray(r2.hit), np.asarray(got.hit))
+
+
+def test_serve_loop_drains_incoherent_rays():
+    """The in-kernel serve loop must (a) agree exactly with the serve=0
+    ladder, and (b) drain incoherent random rays in the local round so
+    the recorded ladder is just the tail — the round-exhaustion failure
+    mode behind the r2 gate (hit_agree 0.784) cannot recur."""
+    vox = make_terrain_voxels(64, seed=7)
+    tree = build_np.build_octree_np(vox)
+    ws = wavefront.prepare(brick_scene.brickify(tree))
+    o, d = random_rays(2048, seed=5)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    p0, ps = {}, {}
+    r0 = wavefront.intersect_wavefront(ws, o, d, interpret=True, serve=0,
+                                       profile=p0)
+    rs_ = wavefront.intersect_wavefront(ws, o, d, interpret=True,
+                                        profile=ps)
+    assert np.array_equal(np.asarray(r0.hit), np.asarray(rs_.hit))
+    both = np.asarray(r0.hit)
+    assert np.allclose(np.asarray(r0.t)[both], np.asarray(rs_.t)[both],
+                       atol=2e-4)
+    assert np.array_equal(np.asarray(r0.value)[both],
+                          np.asarray(rs_.value)[both])
+    # serve drains everything by round 1L: only the over-provision tail
+    assert ps["schedule"] == (0, 0, 0), ps["schedule"]
+    # static replay of the trivial ladder strands nothing
+    got, n_left = wavefront.intersect_wavefront(
+        ws, o, d, interpret=True, schedule=ps["schedule"])
+    assert int(n_left) == 0
+    assert np.array_equal(np.asarray(rs_.hit), np.asarray(got.hit))
+
+
+def test_serve_loop_bound_punts_to_ladder():
+    """A tiny serve bound must not lose rays — lanes past the bound punt
+    to the sorted rounds and still resolve to the same hits."""
+    vox = make_terrain_voxels(64, seed=7)
+    tree = build_np.build_octree_np(vox)
+    ws = wavefront.prepare(brick_scene.brickify(tree))
+    o, d = random_rays(1024, seed=6)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    r0 = wavefront.intersect_wavefront(ws, o, d, interpret=True, serve=0)
+    r1 = wavefront.intersect_wavefront(ws, o, d, interpret=True, serve=2)
+    assert np.array_equal(np.asarray(r0.hit), np.asarray(r1.hit))
+    both = np.asarray(r0.hit)
+    assert np.allclose(np.asarray(r0.t)[both], np.asarray(r1.t)[both],
+                       atol=2e-4)
 
 
 def test_g64_world():

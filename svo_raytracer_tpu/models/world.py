@@ -133,3 +133,71 @@ def build_world(world_size: int, chunk_size: int,
             print(f"chunk {i + 1}/{len(chunks)} at {gpos}: "
                   f"{chunk.n_nodes} nodes, world total {world.n_nodes}")
     return world
+
+
+def build_world_sharded(world_size: int, chunk_size: int,
+                        gen_fn: Callable, mesh,
+                        max_lod: int | None = None,
+                        chunk_capacity: int = 1 << 20,
+                        world_offset=(0, 0, 0),
+                        verbose: bool = False) -> Octree:
+    """:func:`build_world` with chunk generation+build data-parallel over
+    the mesh's ``tiles`` axis (SURVEY §2.2 row 3: the reference's
+    GPU-noise -> 8 host threads pipeline re-expressed as pjit sharding).
+
+    ``gen_fn(origin_i32_array) -> (chunk^3) voxels`` must be JITTABLE
+    (it runs inside ``shard_map``; the stock generators in
+    models/procgen.py and models/heightmap.py qualify).  Each device
+    generates and level-synchronously builds one chunk per group; the
+    host splices group results in DFS chunk order, so the resulting
+    node table is IDENTICAL to the serial :func:`build_world` output
+    (tests/test_worldgen.py asserts array equality).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    if world_size == chunk_size:
+        return build_world(world_size, chunk_size, gen_fn, max_lod=max_lod,
+                           chunk_capacity=chunk_capacity,
+                           world_offset=world_offset, verbose=verbose)
+
+    n_dev = mesh.shape["tiles"]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P("tiles"),
+        out_specs=(P("tiles"),) * 5, check_vma=False)
+    def _build_group(origins):  # (1, 3) i32 per shard
+        v = gen_fn(origins[0])
+        child, mask, value, normal, n = build_jax.build_octree_jax(
+            v, max_lod=max_lod, capacity=chunk_capacity)
+        return (child[None], mask[None], value[None], normal[None],
+                n.reshape(1))
+
+    world, chunks = chunk_layout(world_size, chunk_size)
+    origins = np.asarray([[o[0] + world_offset[0], o[1] + world_offset[1],
+                           o[2] + world_offset[2]] for o, _ in chunks],
+                         np.int32)
+    for g0 in range(0, len(chunks), n_dev):
+        grp = origins[g0:g0 + n_dev]
+        pad = n_dev - len(grp)
+        if pad:  # partial tail group: repeat the last origin, drop results
+            grp = np.concatenate([grp, np.repeat(grp[-1:], pad, axis=0)])
+        child, mask, value, normal, ns = jax.jit(_build_group)(
+            jnp.asarray(grp))
+        ns = np.asarray(ns)
+        for j in range(min(n_dev, len(chunks) - g0)):
+            n_j = int(ns[j])
+            if n_j > chunk_capacity:
+                raise MemoryError(f"chunk needs {n_j} > {chunk_capacity}")
+            chunk = Octree(child=np.asarray(child[j]),
+                           mask=np.asarray(mask[j]),
+                           value=np.asarray(value[j]),
+                           normal=np.asarray(normal[j]),
+                           n_nodes=n_j, world_size=chunk_size)
+            world = splice_chunk(world, chunks[g0 + j][1], chunk)
+        if verbose:
+            print(f"chunk group {g0 // n_dev}: world total {world.n_nodes}")
+    return world

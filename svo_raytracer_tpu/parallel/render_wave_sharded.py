@@ -125,7 +125,7 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
 def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
                              schedules, render_mode=0, gi_bounces=1,
                              interpret=None, extra=0, min_tiles=2,
-                             interleave=True, serve=None):
+                             interleave=True, serve=None, serve_width=None):
     """Jitted ``render(warrays, cam5, frame_number) -> (col, n_left)``
     with rows sharded over ``tiles`` and the wavefront engine per shard.
     ``warrays`` = ``_warrays(wscene)`` (passed explicitly so updated
@@ -142,14 +142,17 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
         interpret = jax.default_backend() == "cpu"
     if serve is None:
         serve = wavefront.DEFAULT_SERVE
+    if serve_width is None:
+        serve_width = wavefront.DEFAULT_SERVE_WIDTH if G <= 32 else 1
     B = rows * width
     rep = P()
 
-    def trace(o, d, act, warr, sched):
+    def trace(o, d, act, warr, sched, serve_local=True):
         return _trace_body(o, d, act, None, warr, tuple(sched), B, G, cap,
                            ws_sz, cap, inner_cap, l0_cap, True, interpret,
                            1, True, None, min_tiles, extra=extra,
-                           serve=serve)
+                           serve=serve, serve_width=serve_width,
+                           serve_local=serve_local)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -166,7 +169,7 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
             oo, dd = o, d
             for seg in range(gi_bounces + 1):
                 res, nl = trace(oo, dd, active if seg else ones, warr,
-                                schedules[seg])
+                                schedules[seg], serve_local=(seg == 0))
                 n_left = n_left + nl
                 accum, mask, depth, iters, active, oo, dd = \
                     render_wave._gi_update(seg == 0, (), accum, mask, depth,

@@ -187,8 +187,9 @@ def test_serve_loop_drains_incoherent_rays():
                        atol=2e-4)
     assert np.array_equal(np.asarray(r0.value)[both],
                           np.asarray(rs_.value)[both])
-    # serve drains everything by round 1L: only the over-provision tail
-    assert ps["schedule"] == (0, 0, 0), ps["schedule"]
+    # serve drains everything by round 1L: no sorted rounds recorded
+    # (and no over-provision tail — serve absorbs per-frame variation)
+    assert ps["schedule"] == (), ps["schedule"]
     # static replay of the trivial ladder strands nothing
     got, n_left = wavefront.intersect_wavefront(
         ws, o, d, interpret=True, schedule=ps["schedule"])

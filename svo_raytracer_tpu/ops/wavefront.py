@@ -93,6 +93,16 @@ DEFAULT_SERVE = 4096
 # DMA latency.  G>32 serves one cell/iter (its slot lookup is itself a
 # word DMA).
 DEFAULT_SERVE_WIDTH = 4
+# Ladder-vs-drain threshold, in tiles.  Serving at FULL frame size is
+# compute-bound at ~30-100 us per (tile, crossing) — 084 measured a 2 M
+# -ray gi drain at 6.4 s vs ~35 ms/round for the static-candidate sort
+# ladder.  So sorted rounds carry the BULK (prefetched KMAX candidate
+# blocks, zero DMA latency, re-sorted coherence every round) and the
+# serve loop fires only once the active set has compacted to this many
+# tiles — draining the deep/incoherent tail that ran the r2 ladder to
+# 97+ rounds.  A replay's final round always serves, so a recorded
+# schedule can never go stale (per-frame variation drains in-kernel).
+DRAIN_TILES = 16
 # Per-ray DDA-step kill switch, the analog of the reference's
 # MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
 # past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps
@@ -1113,12 +1123,16 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              sc_skip=sc_skip, l0_sc=l0_sc,
                              serve=serve if serve_local else 0,
                              serve_width=serve_width)
-    for h in schedule:
+    for i, h in enumerate(schedule):
+        # bulk rounds run static candidates only; the FINAL round serves
+        # (drains in-kernel), so a replay can never strand rays on
+        # per-frame variation (DRAIN_TILES rationale)
+        sv = serve if i == len(schedule) - 1 else 0
         state, bufs, _n = _round_body(
             state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
             cam=cam, cam_dims=cam_dims, extra=extra, sc_words=sc_words,
-            sc_skip=sc_skip, l0_sc=l0_sc, serve=serve,
+            sc_skip=sc_skip, l0_sc=l0_sc, serve=sv,
             serve_width=serve_width)
         opack, ot, oit = bufs
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
@@ -1279,6 +1293,10 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         while (T + 1) // 2 >= floor_t and T > min_tiles:
             T = (T + 1) // 2
             halvings += 1
+        # bulk rounds: static candidates only; once the active set fits
+        # DRAIN_TILES tiles, serve the tail in-kernel (DRAIN_TILES
+        # rationale at the constant)
+        drain = bool(serve) and n <= DRAIN_TILES * TILE
         state, bufs, n_act = _round_fused(
             state, wscene.brick_slot, wscene.l0_occ, wscene.l0_mixed,
             wscene.occ_words, opack, ot, oit, halvings=halvings,
@@ -1286,7 +1304,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             early_exit=early_exit, interpret=interpret, cont=cont,
             cam=cam, cam_dims=cam_dims, extra=extra,
             sc_words=wscene.sc_words, sc_skip=sc_skip,
-            l0_sc=wscene.l0_sc, serve=serve, serve_width=serve_width)
+            l0_sc=wscene.l0_sc, serve=serve if drain else 0,
+            serve_width=serve_width)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)
         pending = n_act

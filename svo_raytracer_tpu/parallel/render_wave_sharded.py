@@ -99,9 +99,13 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
             oo, dd = o, d
             for seg in range(gi_bounces + 1):
                 prof = {}
+                # serve_local must match make_wave_sharded_render's trace
+                # (gi segments serve after the sort), else the recorded
+                # ladder lacks the sorted round the replay drains in
                 res = wavefront.intersect_wavefront(
                     wscene, oo, dd, active=active, interpret=interpret,
-                    profile=prof, schedule_slack=2, extra=extra)
+                    profile=prof, schedule_slack=2, extra=extra,
+                    serve_local=(seg == 0))
                 per_seg[seg].append(prof["schedule"])
                 accum, mask, depth, iters, active, oo, dd = \
                     render_wave._gi_update(seg == 0, (), accum, mask, depth,

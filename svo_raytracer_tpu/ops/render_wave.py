@@ -239,7 +239,7 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
     cam = wavefront.cam16(cam5)
     ones = jnp.ones(B, bool)
 
-    def trace(o, d, act, cam_dims, sched, serve_local=True):
+    def trace(o, d, act, cam_dims, sched, serve_local=False):
         # incoherent (bounce) segments serve AFTER the global sort:
         # sorted tiles span ~B_tile/run cells instead of hundreds, so
         # far fewer latency-bound block DMAs (PERF_NOTES r3)
@@ -260,8 +260,7 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
             if seg == 0:
                 res, nl = trace(o, d, ones, cdims, schedules[0])
             else:
-                res, nl = trace(o, d, active, None, schedules[seg],
-                                serve_local=False)
+                res, nl = trace(o, d, active, None, schedules[seg])
             n_lefts.append(nl)
             accum, mask, depth, iters_out, active, o, d = _gi_update(
                 seg == 0, mirror_values, accum, mask, depth, iters_out,
@@ -354,7 +353,8 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
         o, d = origins, dirs
         for seg in range(gi_bounces + 1):
             if seg == 0:
-                res = _traced(wscene, o, d, "prim", camera=camera, **kw)
+                res = _traced(wscene, o, d, "prim", camera=camera,
+                              serve_local=False, **kw)
             else:
                 res = _traced(wscene, o, d, f"gi{seg}", active=active,
                               serve_local=False, **kw)
@@ -364,16 +364,20 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
         col = accum
         it = iters_out
     elif render_mode == 1:
-        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera,
+                      serve_local=False, **kw)
         col, depth, it = _heat_post(res)
     elif render_mode == 2:
-        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera,
+                      serve_local=False, **kw)
         so, sd, sa = _shadow_rays(res)
-        sh = _traced(wscene, so, sd, "shadow", active=sa, **kw)
+        sh = _traced(wscene, so, sd, "shadow", active=sa,
+                     serve_local=False, **kw)
         col, depth, it = shade.direct_shade_math(dirs, res, sh,
                                                  jnp.zeros_like(res.t))
     elif render_mode == 3:
-        res = _traced(wscene, origins, dirs, "prim", camera=camera, **kw)
+        res = _traced(wscene, origins, dirs, "prim", camera=camera,
+                      serve_local=False, **kw)
         col, depth, it = _norm_post(res)
     else:
         raise ValueError(f"unknown render mode {render_mode}")

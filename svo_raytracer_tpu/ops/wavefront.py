@@ -66,7 +66,15 @@ i32 = jnp.int32
 
 LANES = 128
 TILE = 8 * LANES            # rays per grid step
-KMAX = 4                    # distinct bricks a ray tile may span per round
+# Distinct candidate bricks per ray tile per round.  Candidate blocks
+# arrive via BlockSpec scalar-prefetch index maps, which Mosaic
+# pipelines ahead of the grid step — unlike the serve loop's in-kernel
+# DMAs they cost NO exposed latency, so a wider candidate set directly
+# raises the per-round retire rate for incoherent (bounce) tiles whose
+# sorted runs span more than 4 cells.  Measured r3 (087, 1080p gi-1 on
+# the 1024^3 bench scene): KMAX 4 -> 8 with the DRAIN_TILES tail drain
+# took the segment replay 6404 -> 534 ms and primaries 282 -> 171 ms.
+KMAX = 8
 KEY_DONE = np.int32(1 << 30)
 KEY_INIT = np.int32(-2)     # ray not yet L0-marched (round 0 / stuck)
 PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
@@ -1091,7 +1099,8 @@ def _resolve_caps(G):
 def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                 NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
                 cont, local_round1, cam_dims, min_tiles, extra=0,
-                sc_skip=True, serve=0, serve_width=1, serve_local=True):
+                sc_skip=True, serve=0, serve_width=1, serve_local=True,
+                serve_bulk=0):
     """The full round ladder as one traceable function (static
     ``schedule`` = per-round halving counts recorded by a dynamic run).
     Returns (HitResult, n_left) — n_left>0 means the replayed schedule
@@ -1124,10 +1133,12 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              serve=serve if serve_local else 0,
                              serve_width=serve_width)
     for i, h in enumerate(schedule):
-        # bulk rounds run static candidates only; the FINAL round serves
-        # (drains in-kernel), so a replay can never strand rays on
-        # per-frame variation (DRAIN_TILES rationale)
-        sv = serve if i == len(schedule) - 1 else 0
+        # bulk rounds run static candidates plus a small serve bound
+        # (serve_bulk crossings beyond the KMAX candidates); the FINAL
+        # round serves unbounded (drains in-kernel), so a replay can
+        # never strand rays on per-frame variation (DRAIN_TILES
+        # rationale)
+        sv = serve if i == len(schedule) - 1 else serve_bulk
         state, bufs, _n = _round_body(
             state, brick_slot, l0_occ, l0_mixed, occ_words, opack, ot, oit,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
@@ -1147,7 +1158,7 @@ _trace_static = functools.partial(jax.jit, static_argnames=(
     "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
     "early_exit", "interpret", "cont", "local_round1", "cam_dims",
     "min_tiles", "extra", "sc_skip", "serve", "serve_width",
-    "serve_local"))(_trace_body)
+    "serve_local", "serve_bulk"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
@@ -1157,7 +1168,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         defer_sync=True, profile=None, camera=None,
                         schedule=None, schedule_slack=1, extra=None,
                         sc_skip=True, serve=None, serve_width=None,
-                        serve_local=True):
+                        serve_local=True, serve_bulk=0):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -1227,7 +1238,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             interpret=interpret, cont=cont, local_round1=local_round1,
             cam_dims=cam_dims, min_tiles=min_tiles, extra=extra,
             sc_skip=sc_skip, serve=serve, serve_width=serve_width,
-            serve_local=serve_local)
+            serve_local=serve_local, serve_bulk=serve_bulk)
         return res, n_left
 
     # ---------------- dynamic round loop (schedule discovery) ----------
@@ -1304,7 +1315,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             early_exit=early_exit, interpret=interpret, cont=cont,
             cam=cam, cam_dims=cam_dims, extra=extra,
             sc_words=wscene.sc_words, sc_skip=sc_skip,
-            l0_sc=wscene.l0_sc, serve=serve if drain else 0,
+            l0_sc=wscene.l0_sc, serve=serve if drain else serve_bulk,
             serve_width=serve_width)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)

@@ -105,7 +105,7 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
                 res = wavefront.intersect_wavefront(
                     wscene, oo, dd, active=active, interpret=interpret,
                     profile=prof, schedule_slack=2, extra=extra,
-                    serve_local=(seg == 0))
+                    serve_local=False)
                 per_seg[seg].append(prof["schedule"])
                 accum, mask, depth, iters, active, oo, dd = \
                     render_wave._gi_update(seg == 0, (), accum, mask, depth,
@@ -114,14 +114,15 @@ def discover_schedules(wscene, cam5, width, height, mesh, render_mode=0,
             prof = {}
             res = wavefront.intersect_wavefront(
                 wscene, o, d, interpret=interpret, profile=prof,
-                schedule_slack=2, extra=extra)
+                schedule_slack=2, extra=extra, serve_local=False)
             per_seg[0].append(prof["schedule"])
             if render_mode == 2:
                 so, sd, sa = render_wave._shadow_rays(res)
                 prof2 = {}
                 wavefront.intersect_wavefront(
                     wscene, so, sd, active=sa, interpret=interpret,
-                    profile=prof2, schedule_slack=2, extra=extra)
+                    profile=prof2, schedule_slack=2, extra=extra,
+                    serve_local=False)
                 per_seg[1].append(prof2["schedule"])
     return tuple(merge_schedules(s) for s in per_seg)
 
@@ -151,7 +152,7 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
     B = rows * width
     rep = P()
 
-    def trace(o, d, act, warr, sched, serve_local=True):
+    def trace(o, d, act, warr, sched, serve_local=False):
         return _trace_body(o, d, act, None, warr, tuple(sched), B, G, cap,
                            ws_sz, cap, inner_cap, l0_cap, True, interpret,
                            1, True, None, min_tiles, extra=extra,
@@ -173,7 +174,7 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
             oo, dd = o, d
             for seg in range(gi_bounces + 1):
                 res, nl = trace(oo, dd, active if seg else ones, warr,
-                                schedules[seg], serve_local=(seg == 0))
+                                schedules[seg])
                 n_left = n_left + nl
                 accum, mask, depth, iters, active, oo, dd = \
                     render_wave._gi_update(seg == 0, (), accum, mask, depth,

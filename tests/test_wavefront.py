@@ -158,7 +158,11 @@ def test_extra_dynamic_continuation():
                        atol=2e-4)
     assert np.array_equal(np.asarray(r0.value)[both],
                           np.asarray(r2.value)[both])
-    assert len(p2["schedule"]) < len(p0["schedule"])
+    # with KMAX=8 the static candidates already cover a 64^3 world's
+    # entire G=2 grid, so extra can no longer SHORTEN the ladder — the
+    # contract kept here is exact agreement (the serve loop supersedes
+    # extra as the convergence mechanism)
+    assert len(p2["schedule"]) <= len(p0["schedule"])
     # static replay composes with extra
     got, n_left = wavefront.intersect_wavefront(
         ws, o, d, interpret=True, extra=2, serve=0, schedule=p2["schedule"])

@@ -53,6 +53,14 @@ def make_isect(wscene, max_rounds=96, interpret=None, min_tiles=64,
 # compile through the axon tunnel, a replayed tuple is an XLA-cache hit.
 _SCHED: dict = {}
 
+# Persisted-schedule format version: bump when the ENGINE CONFIG changes
+# the meaning of a recorded ladder (KMAX, serve placement, drain rule).
+# A stale ladder is not just suboptimal — under the final-round-serves
+# rule a pre-ladder "(0,0,0)" entry drains the FULL frame in the serve
+# loop (~6.4 s measured, .tpu_jobs/084) while reporting n_left=0, so it
+# would never re-record.  Version-mismatched files are ignored wholesale.
+SCHED_VERSION = "k8-ladder-drain-1"
+
 
 def _sched_key(wscene, tag, B):
     # fingerprint (ops/wavefront._scene_fingerprint) keeps two scenes
@@ -67,6 +75,7 @@ def save_schedules(path):
     import json
     data = {"|".join(map(str, k)): [list(v[0]), v[1]]
             for k, v in _SCHED.items()}
+    data["__version__"] = SCHED_VERSION
     tmp = f"{path}.tmp{np.random.randint(1 << 30)}"
     with open(tmp, "w") as f:
         json.dump(data, f)
@@ -84,6 +93,8 @@ def load_schedules(path):
         return 0
     with open(path) as f:
         data = json.load(f)
+    if data.pop("__version__", None) != SCHED_VERSION:
+        return 0  # recorded under a different engine config: discard
     n = 0
     for k, (sched, slack) in data.items():
         parts = k.split("|")

@@ -110,7 +110,10 @@ DEFAULT_SERVE_WIDTH = 4
 # tiles — draining the deep/incoherent tail that ran the r2 ladder to
 # 97+ rounds.  A replay's final round always serves, so a recorded
 # schedule can never go stale (per-frame variation drains in-kernel).
-DRAIN_TILES = 16
+# 64 tiles measured best at 1080p (087: gi replay 534 ms vs 594 at 256
+# tiles; 088: serve_bulk>0 in bulk rounds LOSES — gi 882 ms, prim
+# 206 ms — serve iterations at large active sizes are compute-bound).
+DRAIN_TILES = 64
 # Per-ray DDA-step kill switch, the analog of the reference's
 # MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
 # past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps

@@ -342,8 +342,7 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             extra=(wavefront.DEFAULT_EXTRA
                    if wscene.grid_size <= 32 else 0),
             serve=wavefront.DEFAULT_SERVE,
-            serve_width=(wavefront.DEFAULT_SERVE_WIDTH
-                         if wscene.grid_size <= 32 else 1))
+            serve_width=wavefront.DEFAULT_SERVE_WIDTH)
         stale = np.asarray(n_lefts) > _stale_tol(B)
         if not stale.any():
             return col, depth, it

@@ -489,19 +489,18 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     if cam_dims is not None:
         W, H, ws_world = cam_dims
         cam_ref = args.pop(0)
-    bslot_ref = args.pop(0) if (need_dyn and G <= 32) else None
+    # SMEM cell->slot map: raw i32 words for G<=32 (128 KB); two
+    # 16-bit slots per word for G>32 (512 KB at G=64 — raw would be
+    # 1 MB, and an HBM->SMEM word DMA crashes the Mosaic compiler)
+    bslot_ref = args.pop(0) if need_dyn else None
     l0_ref = args.pop(0)
     mx_ref = args.pop(0)
     l0sc_ref = args.pop(0)
     occ_refs = [args.pop(0) for _ in range(KMAX)]
     sc_refs = [args.pop(0) for _ in range(KMAX)]
     occ_hbm_ref = args.pop(0) if need_dyn else None
-    bslot_hbm_ref = args.pop(0) if (need_dyn and G > 32) else None
     VW = serve_width if serve else 1
     if need_dyn:
-        if G > 32:
-            slot_sem = args.pop()
-            slot_scr = args.pop()
         dma_sems = [args.pop() for _ in range(VW)][::-1]
         scratch_refs = [args.pop() for _ in range(VW)][::-1]
     if cam_dims is None:
@@ -740,13 +739,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             csafe = jnp.clip(cmin, 0, G * G * G - 1)
             if G <= 32:
                 return jnp.maximum(bslot_ref[csafe], 0)
-            # the G^3 cell->slot map exceeds the SMEM prefetch budget at
-            # G=64; fetch the single word by DMA instead
-            cpy = pltpu.make_async_copy(
-                bslot_hbm_ref.at[pl.ds(csafe, 1)], slot_scr, slot_sem)
-            cpy.start()
-            cpy.wait()
-            return jnp.maximum(slot_scr[0], 0)
+            # packed16 decode (sign-extend the 16-bit field)
+            w = bslot_ref[csafe >> 1]
+            s16 = (w >> ((csafe & 1) * 16)) & 0xFFFF
+            return jnp.maximum((s16 ^ 0x8000) - 0x8000, 0)
 
         def _serve_step(keyw, tw, packw, itw):
             """Vote up to VW DISTINCT pending cells; their occupancy
@@ -826,7 +822,7 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         assert G <= 32
     if need_dyn:
         assert brick_slot is not None
-    if G > 32 or not serve:
+    if not serve:
         serve_width = 1
     VW = serve_width
     T = tile_slot.shape[0]
@@ -838,8 +834,15 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     scalars = ()
     if cam_dims is not None:
         scalars += (cam.astype(f32),)
-    if need_dyn and G <= 32:
-        scalars += (brick_slot,)
+    if need_dyn:
+        if G <= 32:
+            scalars += (brick_slot,)
+        else:
+            # two sign-extendable 16-bit slots per SMEM word (kernel
+            # _slot_of decode) — raw i32 would be 1 MB at G=64
+            ev = brick_slot[0::2] & 0xFFFF
+            od = brick_slot[1::2] & 0xFFFF
+            scalars += (ev | (od << 16),)
     nsp = 2 + len(scalars)
 
     ray_spec = pl.BlockSpec((8, LANES), lambda k, *s: (k, 0),
@@ -868,15 +871,11 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         + [occ_spec(j) for j in range(KMAX)]
         + [sc_spec(j) for j in range(KMAX)]
         + ([pl.BlockSpec(memory_space=pl.ANY)] if need_dyn else [])
-        + ([pl.BlockSpec(memory_space=pl.ANY)]
-           if need_dyn and G > 32 else [])
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
         scratch_shapes=(
             ([pltpu.VMEM((8, LANES), i32)] * VW
-             + [pltpu.SemaphoreType.DMA] * VW
-             + ([pltpu.SMEM((1,), i32), pltpu.SemaphoreType.DMA]
-                if G > 32 else []))
+             + [pltpu.SemaphoreType.DMA] * VW)
             if need_dyn else []),
     )
 
@@ -889,8 +888,6 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
         ins = [rs(a) for a in state]                # key, t, pack, it, rid
 
     hbm_extra = (occ_words,) if need_dyn else ()
-    if need_dyn and G > 32:
-        hbm_extra += (brick_slot,)
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
         out_shape=tuple(
@@ -1212,7 +1209,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     if serve is None:
         serve = DEFAULT_SERVE
     if serve_width is None:
-        serve_width = DEFAULT_SERVE_WIDTH if G <= 32 else 1
+        serve_width = DEFAULT_SERVE_WIDTH
     inner_cap, l0_cap = _resolve_caps(G)
 
     cam = None

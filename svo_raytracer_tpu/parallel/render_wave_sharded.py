@@ -148,7 +148,7 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
     if serve is None:
         serve = wavefront.DEFAULT_SERVE
     if serve_width is None:
-        serve_width = wavefront.DEFAULT_SERVE_WIDTH if G <= 32 else 1
+        serve_width = wavefront.DEFAULT_SERVE_WIDTH
     B = rows * width
     rep = P()
 

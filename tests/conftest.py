@@ -80,3 +80,16 @@ def sphere_tree(sphere_voxels):
 @pytest.fixture
 def terrain_tree(terrain_voxels):
     return build_np.build_octree_np(terrain_voxels)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free XLA/tracing caches between test modules: the full suite runs
+    ~160 heavy interpret-mode compiles in one process and the CPU
+    compiler segfaults near the end once its accumulated state grows
+    past ~40 min of compilation (r3: reproducible at the same spot,
+    while any subset passes) — clearing per module keeps it bounded."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -56,13 +56,23 @@ def param_size(wscene) -> int:
 
 def init_params(wscene, init_density: float = 10.0) -> WaveParams:
     """Palette-seeded init like render_diff.init_params: an untrained
-    render matches the direct-mode albedo of the scene's materials."""
+    render matches the direct-mode albedo of the scene's materials.
+
+    Built ON DEVICE from the WaveScene's attr table: pulling attr_comb
+    to the host (~600 MB for the 1024^3 bench scene) would take ~10 min
+    through the ~1 MB/s device->host tunnel (ADVICE r3)."""
     n = param_size(wscene)
-    value = np.asarray(wscene.attr_comb) & 0xFF
-    albedo = np.full((n, 3), 0.5, np.float32)
-    for v, rgb in shade._PALETTE.items():
-        albedo[value == v] = np.asarray(rgb, np.float32)
-    return WaveParams(albedo=jnp.asarray(albedo),
+
+    @jax.jit
+    def _build(attr_comb):
+        value = attr_comb & 0xFF
+        albedo = jnp.full((n, 3), 0.5, f32)
+        for v, rgb in shade._PALETTE.items():
+            albedo = jnp.where((value == v)[:, None],
+                               jnp.asarray(rgb, f32)[None, :], albedo)
+        return albedo
+
+    return WaveParams(albedo=_build(wscene.attr_comb),
                       density=jnp.full((n,), init_density, f32))
 
 
@@ -100,14 +110,20 @@ def khit_chain(wscene_arrays, origins, dirs, K, G, ws, capacity,
         serve = wavefront.DEFAULT_SERVE
     inner_cap, l0_cap = _resolve_caps(G)
     B = origins.shape[0]
+    # normalize ONCE and use the unit dirs everywhere below: res.t is
+    # measured along the traced (unit) direction, so _advance_past must
+    # advance along the same vector (ADVICE r3 — external callers pass
+    # shade.pixel_dirs_device output, which is unnormalized)
+    dirs = d_unit(dirs)
     act = jnp.ones(B, bool)
     o = origins
     aidxs, hitms, dss, lights = [], [], [], []
     for _ in range(K):
         res, _n_left = _trace_body(
-            o, d_unit(dirs), act, None, wscene_arrays, tuple(schedule), B,
+            o, dirs, act, None, wscene_arrays, tuple(schedule), B,
             G, capacity, ws, capacity, inner_cap, l0_cap, True, interpret,
-            1, True, None, min_tiles, serve=serve)
+            0, True, None, min_tiles, serve=serve,
+            cloop=wavefront.DEFAULT_CLOOP)
         hit = act & res.hit
         aidxs.append(jnp.where(hit, res.node, 0))
         hitms.append(hit.astype(f32))

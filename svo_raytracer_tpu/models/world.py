@@ -180,13 +180,13 @@ def build_world_sharded(world_size: int, chunk_size: int,
     origins = np.asarray([[o[0] + world_offset[0], o[1] + world_offset[1],
                            o[2] + world_offset[2]] for o, _ in chunks],
                          np.int32)
+    built = jax.jit(_build_group)  # one compiled fn reused per group
     for g0 in range(0, len(chunks), n_dev):
         grp = origins[g0:g0 + n_dev]
         pad = n_dev - len(grp)
         if pad:  # partial tail group: repeat the last origin, drop results
             grp = np.concatenate([grp, np.repeat(grp[-1:], pad, axis=0)])
-        child, mask, value, normal, ns = jax.jit(_build_group)(
-            jnp.asarray(grp))
+        child, mask, value, normal, ns = built(jnp.asarray(grp))
         ns = np.asarray(ns)
         for j in range(min(n_dev, len(chunks) - g0)):
             n_j = int(ns[j])

@@ -59,7 +59,7 @@ _SCHED: dict = {}
 # rule a pre-ladder "(0,0,0)" entry drains the FULL frame in the serve
 # loop (~6.4 s measured, .tpu_jobs/084) while reporting n_left=0, so it
 # would never re-record.  Version-mismatched files are ignored wholesale.
-SCHED_VERSION = "k8-ladder-drain-1"
+SCHED_VERSION = "v4-cr-cloop-1"
 
 
 def _sched_key(wscene, tag, B):
@@ -257,9 +257,9 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
         return wavefront._trace_body(
             o, d, act, cam if cam_dims is not None else None, warrays,
             tuple(sched), B, G, NM, ws, capacity, inner_cap, l0_cap,
-            early_exit, interpret, 1, True, cam_dims, min_tiles,
+            early_exit, interpret, 0, True, cam_dims, min_tiles,
             extra=extra, serve=serve, serve_width=serve_width,
-            serve_local=serve_local)
+            serve_local=serve_local, cloop=wavefront.DEFAULT_CLOOP)
 
     cdims = (width, height, ws)
     n_lefts = []

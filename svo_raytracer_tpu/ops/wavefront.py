@@ -81,6 +81,14 @@ PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
 PACK_MISS = np.int32(-1)    # ray retired without a hit
 _EXIT_EPS = np.float32(1e-2)  # voxel-unit nudge across brick boundaries
 DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
+# Bound of the candidate-coverage crossing loop (a lax.while_loop, so
+# compile cost is flat in it): per sorted round, a ray keeps crossing
+# bricks while its current cell is still among the tile's KMAX static
+# candidates — v3's cont=1 gave every ray at most ONE crossing per
+# round, which made the ladder length track the per-ray crossing count
+# (10-16 rounds, each paying a full-size multi-operand sort).  The bound
+# only backstops pathological ping-ponging; ITER_CAP retires runaways.
+DEFAULT_CLOOP = 64
 # In-kernel serve loop bound (crossings served per tile per round).  The
 # serve loop (a lax.while_loop, NOT an unroll — compile time is flat in
 # this number) repeatedly votes the tile's min pending brick cell, DMAs
@@ -98,8 +106,9 @@ DEFAULT_SERVE = 4096
 # crossing needs the data, so the V copies are IN FLIGHT TOGETHER — the
 # ~48 us dependent-DMA latency (pallas_prims.jsonl p8) amortizes V-fold.
 # Measured r3 (081: serve_width=1, pixel-order gi): 15.1 s/frame, pure
-# DMA latency.  G>32 serves one cell/iter (its slot lookup is itself a
-# word DMA).
+# DMA latency.  serve_width applies at every G: the cell->slot map is
+# SMEM-resident at all sizes (raw i32 words for G<=32, two packed
+# sign-extendable 16-bit slots per word for G>32 — see _slot_of).
 DEFAULT_SERVE_WIDTH = 4
 # Ladder-vs-drain threshold, in tiles.  Serving at FULL frame size is
 # compute-bound at ~30-100 us per (tile, crossing) — 084 measured a 2 M
@@ -149,15 +158,19 @@ class WaveScene:
     grid_size: int
     n_mixed: int
     capacity: int
-    l0_occ: Any      # (rows,128) i32 — occupied-brick bits (occ|uniform)
-    l0_mixed: Any    # (rows,128) i32 — mixed-brick bits (slot >= 0)
+    l0_occ: Any      # (RB+RC, 128) i32 — occupied-brick (occ|uniform)
+                     # coarse-refine tables: byte-cell fine rows followed
+                     # by coarse-bit rows (_l0_cr_tables / _l0_rows)
+    l0_mixed: Any    # (rows,128) i32 — mixed-brick bits, z-column packed
+                     # (probed once per L0 stop)
     brick_slot: Any  # (G^3,) i32
-    occ_words: Any   # (capacity, 8, 128) i32
+    occ_words: Any   # (capacity, 8, 128) i32 — per-brick 32^3 occupancy
+                     # in BYTE-CELL layout (_cr_split: byte c&3 of word
+                     # c>>2 holds coarse cell c's 8 fine-voxel bits)
     attr_comb: Any   # (capacity*32768 + G^3,) i32 — mixed attrs ++ uniform
     slot_cell: Any = None  # (capacity,) i32 — mixed slot -> L0 cell (G>32)
-    sc_words: Any = None   # (capacity, 1, 128) i32 — 4^3 supercell bits
-                           # (lanes 0-1), bit (sx*16+sy*4+sz) = any voxel
-                           # in the 8^3 supercell
+    sc_words: Any = None   # (capacity, 1, 128) i32 — 16^3 coarse (2-voxel
+                           # cell) occupancy bits: bit c&31 of word c>>5
     l0_sc: Any = None      # (1, 128) i32 — (G/8)^3 super-L0 bits, bit
                            # (sx*n+sy)*n+sz = any occupied brick in the
                            # 8^3 brick group
@@ -186,19 +199,95 @@ def _l0_mixed_table(scene):
     return np.asarray(brick_dda.table_rows(brick_dda.pack_occupancy(mixed)))
 
 
-def _supercell_words(occ_words):
-    """(n, 8, 128) packed 32^3 occupancy -> (n, 1, 128) 4^3 supercell
-    bits (8^3 voxels per supercell; in-kernel skip table)."""
+def _cr_split(vox):
+    """Coarse-refine tables of an (n, F, F, F) bool occupancy (F even).
+
+    Returns (byte_words (n, RB, 128), coarse_words (n, RC, 128)) i32:
+
+      * coarse cell c = (Cx*h + Cy)*h + Cz (h = F/2, a 2^3 fine block):
+        its ANY-bit is bit (c & 31) of coarse word (c >> 5);
+      * its 8 FINE bits live in byte (c & 3) of byte word (c >> 2), bit
+        (i<<2 | j<<1 | k) for fine offset (i, j, k) within the block —
+        one fetch yields the whole refine neighborhood (kernel _dda_cr).
+    """
+    n, F = vox.shape[0], vox.shape[1]
+    if F == 1:
+        # degenerate single-cell grid (G=1, a 32^3 world): one coarse
+        # cell whose byte holds the lone fine bit at offset (0,0,0)
+        occ = vox.reshape(n, 1).astype(np.uint32)
+        bout = np.zeros((n, 128), np.uint32)
+        bout[:, 0] = occ[:, 0]
+        cout = bout.copy()
+        return (bout.view(np.int32).reshape(n, 1, 128),
+                cout.view(np.int32).reshape(n, 1, 128))
+    h = F // 2
+    c = vox.reshape(n, h, 2, h, 2, h, 2).transpose(0, 1, 3, 5, 2, 4, 6)
+    c = c.reshape(n, h * h * h, 8)           # last axis = (i, j, k) flat
+    byte = np.zeros((n, h * h * h), np.uint32)
+    for b in range(8):
+        byte |= c[:, :, b].astype(np.uint32) << np.uint32(b)
+    nw_b = -(-h * h * h // 4)
+    by = np.zeros((n, nw_b * 4), np.uint32)
+    by[:, :h * h * h] = byte
+    by = by.reshape(n, nw_b, 4)
+    bw = np.zeros((n, nw_b), np.uint32)
+    for b in range(4):
+        bw |= by[:, :, b] << np.uint32(8 * b)
+    rb = -(-nw_b // 128)
+    bout = np.zeros((n, rb * 128), np.uint32)
+    bout[:, :nw_b] = bw
+
+    occ_c = c.any(axis=2).reshape(n, -1)     # (n, h^3) coarse any-bits
+    nw_c = -(-h * h * h // 32)
+    fl = np.zeros((n, nw_c * 32), bool)
+    fl[:, :h * h * h] = occ_c
+    fl = fl.reshape(n, nw_c, 32)
+    cw = np.zeros((n, nw_c), np.uint32)
+    for b in range(32):
+        cw |= fl[:, :, b].astype(np.uint32) << np.uint32(b)
+    rc = -(-nw_c // 128)
+    cout = np.zeros((n, rc * 128), np.uint32)
+    cout[:, :nw_c] = cw
+    return (bout.view(np.int32).reshape(n, rb, 128),
+            cout.view(np.int32).reshape(n, rc, 128))
+
+
+def _occ_vox(occ_words):
+    """(n, 8, 128) z-column-packed 32^3 occupancy -> (n,32,32,32) bool."""
     n = occ_words.shape[0]
     w = np.asarray(occ_words).astype(np.uint32).reshape(n, 32, 32)
     # w[:, x, y] holds the 32 z-bits of column (x, y)
-    vox = ((w[:, :, :, None] >> np.arange(32, dtype=np.uint32)) & 1) != 0
-    sc = vox.reshape(n, 4, 8, 4, 8, 4, 8).any(axis=(2, 4, 6))  # (n,4,4,4)
-    bits = sc.reshape(n, 64)
-    out = np.zeros((n, 128), np.uint32)
-    for b in range(64):
-        out[:, b // 32] |= bits[:, b].astype(np.uint32) << np.uint32(b % 32)
-    return out.view(np.int32).reshape(n, 1, 128)
+    return ((w[:, :, :, None] >> np.arange(32, dtype=np.uint32)) & 1) != 0
+
+
+def _brick_cr(occ_words):
+    """Brick payload tables for the coarse-refine kernel: byte-cell fine
+    words (n, 8, 128) + 16^3 coarse bits (n, 1, 128)."""
+    bw, cw = _cr_split(_occ_vox(occ_words))
+    return bw, cw
+
+
+def _l0_rows(G):
+    """(byte rows, coarse rows) of the L0 coarse-refine tables."""
+    h = max(G // 2, 1)
+    nw_b = -(-h * h * h // 4)
+    nw_c = -(-h * h * h // 32)
+    return -(-nw_b // 128), -(-nw_c // 128)
+
+
+def _l0_cr_tables(scene):
+    """Concatenated L0 tables (byte-cell rows ++ coarse-bit rows) over
+    the occupied-brick grid (mixed OR uniform), split again by static
+    row counts in _call_kernel."""
+    G = scene.grid_size
+    # solidity is the VALUE BYTE of the uniform attr word (brick_attr
+    # carries packed normals in the high bits even for air bricks) —
+    # matches brick_scene's l0_occ rule ((uni & 0xFF) != 0)
+    occ3 = ((np.asarray(scene.brick_slot) >= 0)
+            | ((np.asarray(scene.brick_attr) & 0xFF) != 0)).reshape(
+                1, G, G, G)
+    bw, cw = _cr_split(occ3)
+    return np.concatenate([bw[0], cw[0]], axis=0)
 
 
 def _l0_super_words(scene):
@@ -210,7 +299,7 @@ def _l0_super_words(scene):
     if n == 0:
         return np.full((1, 128), -1, np.int32)
     occ3 = ((np.asarray(scene.brick_slot) >= 0)
-            | (np.asarray(scene.brick_attr) != 0)).reshape(G, G, G)
+            | ((np.asarray(scene.brick_attr) & 0xFF) != 0)).reshape(G, G, G)
     sup = occ3.reshape(n, 8, n, 8, n, 8).any(axis=(1, 3, 5)).reshape(-1)
     out = np.zeros(128, np.uint32)
     for b in range(sup.shape[0]):
@@ -240,10 +329,9 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
             f"G={G} worlds support < 32768 mixed bricks; {capacity}")
     nm = scene.occ_words.shape[0]
     occ = np.zeros((capacity, 8, 128), np.int32)
-    occ[:nm] = np.asarray(scene.occ_words)
     scw = np.zeros((capacity, 1, 128), np.int32)
     if nm:
-        scw[:nm] = _supercell_words(scene.occ_words)
+        occ[:nm], scw[:nm] = _brick_cr(scene.occ_words)
     attr_comb = np.zeros(capacity * 32768 + G * G * G, np.int32)
     attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
     attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr, np.int32)
@@ -255,7 +343,7 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
         fingerprint=_scene_fingerprint(scene),
         world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
         capacity=capacity,
-        l0_occ=jnp.asarray(scene.l0_table, i32),
+        l0_occ=jnp.asarray(_l0_cr_tables(scene), i32),
         l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
         brick_slot=jnp.asarray(scene.brick_slot, i32),
         occ_words=jnp.asarray(occ, i32),
@@ -294,18 +382,19 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
                        + max(64, patch.n_mixed // 8))
     p = len(patch.upd_slots)
     occ_rows = np.asarray(patch.occ_rows, np.int32).reshape(p, 8, 128)
+    occ_cr, sc_cr = _brick_cr(occ_rows)
     attr_comb, occ_words, brick_slot, slot_cell, sc_words = _apply_patch_dev(
         ws.attr_comb, ws.occ_words, ws.brick_slot, ws.slot_cell, ws.sc_words,
         jnp.asarray(patch.upd_slots, i32),
         jnp.asarray(patch.attr_rows.reshape(p, 32768), i32),
-        jnp.asarray(occ_rows, i32),
-        jnp.asarray(_supercell_words(occ_rows), i32),
+        jnp.asarray(occ_cr, i32),
+        jnp.asarray(sc_cr, i32),
         jnp.asarray(patch.cells, i32), jnp.asarray(patch.cell_attr, i32),
         jnp.asarray(patch.cell_slot, i32), cap=ws.capacity)
     return WaveScene(
         world_size=ws.world_size, grid_size=ws.grid_size,
         n_mixed=patch.n_mixed, capacity=ws.capacity,
-        l0_occ=jnp.asarray(scene.l0_table, i32),
+        l0_occ=jnp.asarray(_l0_cr_tables(scene), i32),
         l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
         brick_slot=brick_slot, occ_words=occ_words, attr_comb=attr_comb,
         slot_cell=slot_cell, sc_words=sc_words,
@@ -326,19 +415,38 @@ def _fetch(rows, w):
     return out
 
 
-def _dda(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell, probe,
-         max_steps, act0, early_exit, sc_probe=None):
-    """Masked early-exit DDA over an n^3 grid of ``cell``-edge cells in
-    [0, n*cell]^3.  Mirrors brick_trace._march; all args (8,128); act0
-    i32.  Returns (hit_i, ix, iy, iz, t, inside_i, steps).
+def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
+            probe_coarse, probe_byte, max_steps, act0, early_exit,
+            sc_probe=None, gate_refine=True):
+    """Masked coarse-refine DDA over an n^3 grid of ``cell``-edge FINE
+    cells in [0, n*cell]^3 (v4 engine; replaces the per-fine-cell v3
+    march).  The loop steps at 2x2x2-fine-cell COARSE granularity:
 
-    ``sc_probe(sx, sy, sz)`` (optional, n=32 brick DDA only): 4^3
-    supercell occupancy.  A lane inside an empty 8^3 supercell jumps to
-    the supercell's exit in ONE iteration (state recomputed from the
-    ray at the exit t) instead of stepping voxel-by-voxel — grazing
-    rays cross the mostly-empty space above a terrain sheet in ~4
-    iterations instead of ~24."""
-    gf = f32(n * cell)
+      * ``probe_coarse(cx, cy, cz)`` (coarse coords in [0, n/2)) tests
+        the coarse cell's any-bit — 4096 bits = one 128-word row at
+        brick scale, so the per-step fetch is ~1 lane-gather instead of
+        the v3 8-row composite (and 8 rows instead of 64 for the G=64
+        L0 march — the 2048^3 cliff's dominant term);
+      * when a lane rests on an occupied coarse cell, ``probe_byte``
+        fetches its 8 fine bits ONCE (byte c&3 of word c>>2, _cr_split)
+        and an unrolled <=4-step sub-DDA resolves the exact fine hit —
+        or passes through (the any-bit is conservative) and the coarse
+        march resumes.  The refine is lax.cond-gated on "any lane needs
+        it", so iterations through empty space never pay for it;
+      * ``sc_probe(sx, sy, sz)`` (optional, 4^3-COARSE-cell supercells
+        = the v3 8^3-fine granularity) jumps empty super-regions in one
+        iteration, state recomputed from the ray at the exit t.
+
+    Decision-equivalent to brick_trace._march: every coarse boundary is
+    a fine boundary, entries are nudged by the same 1e-4*cell, and the
+    returned t is the entry t of the hit FINE cell (absolute-form
+    boundary ts, so rounding drift stays ulp-level).  All args (8,128);
+    act0 i32.  Returns (hit_i, ix, iy, iz, t, inside_i, steps) in fine
+    coords; for non-hit lanes t is how far the march got (stuck/missed
+    handling in the caller is unchanged from v3)."""
+    n2 = max(n // 2, 1)
+    cell2 = f32(2.0) * cell
+    gf = f32(n) * cell
     t1x, t2x = (0.0 - px) * inv_x, (gf - px) * inv_x
     t1y, t2y = (0.0 - py) * inv_y, (gf - py) * inv_y
     t1z, t2z = (0.0 - pz) * inv_z, (gf - pz) * inv_z
@@ -355,21 +463,24 @@ def _dda(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell, probe,
     qy = py + push * dyc
     qz = pz + push * dzc
 
-    ix = jnp.clip((qx / cell).astype(i32), 0, n - 1)
-    iy = jnp.clip((qy / cell).astype(i32), 0, n - 1)
-    iz = jnp.clip((qz / cell).astype(i32), 0, n - 1)
+    cx = jnp.clip((qx / cell2).astype(i32), 0, n2 - 1)
+    cy = jnp.clip((qy / cell2).astype(i32), 0, n2 - 1)
+    cz = jnp.clip((qz / cell2).astype(i32), 0, n2 - 1)
     sx = jnp.where(dxc > 0, i32(1), i32(-1))
     sy = jnp.where(dyc > 0, i32(1), i32(-1))
     sz = jnp.where(dzc > 0, i32(1), i32(-1))
-    nx = jnp.where(dxc > 0, ix + 1, ix).astype(f32) * cell
-    ny = jnp.where(dyc > 0, iy + 1, iy).astype(f32) * cell
-    nz = jnp.where(dzc > 0, iz + 1, iz).astype(f32) * cell
+    nx = jnp.where(dxc > 0, cx + 1, cx).astype(f32) * cell2
+    ny = jnp.where(dyc > 0, cy + 1, cy).astype(f32) * cell2
+    nz = jnp.where(dzc > 0, cz + 1, cz).astype(f32) * cell2
     tx = push + (nx - qx) * inv_x
     ty = push + (ny - qy) * inv_y
     tz = push + (nz - qz) * inv_z
-    adx = jnp.abs(inv_x) * cell
-    ady = jnp.abs(inv_y) * cell
-    adz = jnp.abs(inv_z) * cell
+    adx = jnp.abs(inv_x) * cell2
+    ady = jnp.abs(inv_y) * cell2
+    adz = jnp.abs(inv_z) * cell2
+    fadx = jnp.abs(inv_x) * cell
+    fady = jnp.abs(inv_y) * cell
+    fadz = jnp.abs(inv_z) * cell
 
     alive0 = (act0 != 0) & ~misses_box
     alive0_i = alive0.astype(i32)
@@ -378,76 +489,150 @@ def _dda(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell, probe,
     # Loop carries are i32/f32 vectors only — Mosaic cannot legalize
     # vector<i1> block arguments (measured r1; see ops/brick_dda.py).
     def live(c):
-        ix, iy, iz = c[0], c[1], c[2]
+        cx, cy, cz = c[0], c[1], c[2]
         hit_i = c[6]
-        inside = ((ix >= 0) & (ix < n) & (iy >= 0) & (iy < n)
-                  & (iz >= 0) & (iz < n))
+        inside = ((cx >= 0) & (cx < n2) & (cy >= 0) & (cy < n2)
+                  & (cz >= 0) & (cz < n2))
         return (alive0_i != 0) & inside & (hit_i == 0)
 
     def body(c):
-        ix, iy, iz, tx, ty, tz, hit_i, t, steps, k = c
+        (cx, cy, cz, tx, ty, tz, hit_i, t_cur, fx, fy, fz, t_hit,
+         steps, k) = c
         act = live(c)
-        cx = jnp.clip(ix, 0, n - 1)
-        cy = jnp.clip(iy, 0, n - 1)
-        cz = jnp.clip(iz, 0, n - 1)
-        solid = probe(cx, cy, cz)
-        new_hit = act & solid
-        hit_i = hit_i | new_hit.astype(i32)
-        act = act & ~new_hit
+        ccx = jnp.clip(cx, 0, n2 - 1)
+        ccy = jnp.clip(cy, 0, n2 - 1)
+        ccz = jnp.clip(cz, 0, n2 - 1)
+        occ = act & probe_coarse(ccx, ccy, ccz)
+
+        def _refine(ops):
+            occ_m_i, t_in = ops
+            occ_m = occ_m_i != 0
+            byte = probe_byte(ccx, ccy, ccz)
+            qrx = px + (t_in + f32(1e-4) * cell) * dxc
+            qry = py + (t_in + f32(1e-4) * cell) * dyc
+            qrz = pz + (t_in + f32(1e-4) * cell) * dzc
+            gx = jnp.clip(jnp.floor(qrx / cell).astype(i32),
+                          ccx * 2, ccx * 2 + 1)
+            gy = jnp.clip(jnp.floor(qry / cell).astype(i32),
+                          ccy * 2, ccy * 2 + 1)
+            gz = jnp.clip(jnp.floor(qrz / cell).astype(i32),
+                          ccz * 2, ccz * 2 + 1)
+            bfx = jnp.where(dxc > 0, gx + 1, gx).astype(f32) * cell
+            bfy = jnp.where(dyc > 0, gy + 1, gy).astype(f32) * cell
+            bfz = jnp.where(dzc > 0, gz + 1, gz).astype(f32) * cell
+            ftx = (bfx - px) * inv_x
+            fty = (bfy - py) * inv_y
+            ftz = (bfz - pz) * inv_z
+            ts = t_in
+            ref = occ_m
+            rhit = jnp.zeros_like(cx)
+            rix, riy, riz = gx, gy, gz
+            rt = t_in
+            for s in range(4):
+                bit = (byte >> (((gx & 1) << 2) | ((gy & 1) << 1)
+                                | (gz & 1))) & 1
+                nh = ref & (bit != 0)
+                rhit = rhit | nh.astype(i32)
+                rix = jnp.where(nh, gx, rix)
+                riy = jnp.where(nh, gy, riy)
+                riz = jnp.where(nh, gz, riz)
+                rt = jnp.where(nh, ts, rt)
+                ref = ref & ~nh
+                if s == 3:
+                    break
+                fmx = (ftx <= fty) & (ftx <= ftz)
+                fmy = ~fmx & (fty <= ftz)
+                fmz = ~fmx & ~fmy
+                ts = jnp.where(ref, jnp.minimum(jnp.minimum(ftx, fty),
+                                                ftz), ts)
+                gx = jnp.where(ref & fmx, gx + sx, gx)
+                gy = jnp.where(ref & fmy, gy + sy, gy)
+                gz = jnp.where(ref & fmz, gz + sz, gz)
+                ftx = jnp.where(ref & fmx, ftx + fadx, ftx)
+                fty = jnp.where(ref & fmy, fty + fady, fty)
+                ftz = jnp.where(ref & fmz, ftz + fadz, ftz)
+                ref = (ref & ((gx >> 1) == ccx) & ((gy >> 1) == ccy)
+                       & ((gz >> 1) == ccz))
+            return rhit, rix, riy, riz, rt
+
+        if gate_refine:
+            zi_ = jnp.zeros_like(cx)
+            rhit, rix, riy, riz, rt = jax.lax.cond(
+                jnp.any(occ), _refine,
+                lambda ops: (zi_, zi_, zi_, zi_, jnp.zeros_like(tx)),
+                (occ.astype(i32), t_cur))
+        else:
+            rhit, rix, riy, riz, rt = _refine((occ.astype(i32), t_cur))
+        nh = rhit != 0
+        hit_i = hit_i | rhit
+        fx = jnp.where(nh, rix, fx)
+        fy = jnp.where(nh, riy, fy)
+        fz = jnp.where(nh, riz, fz)
+        t_hit = jnp.where(nh, rt, t_hit)
+        act = act & ~nh
+
         steps = steps + act.astype(i32)
         mx = (tx <= ty) & (tx <= tz)
         my = ~mx & (ty <= tz)
         mz = ~mx & ~my
         tcur = jnp.minimum(jnp.minimum(tx, ty), tz)
-        t = jnp.where(act, tcur, t)
-        ix2 = jnp.where(act & mx, ix + sx, ix)
-        iy2 = jnp.where(act & my, iy + sy, iy)
-        iz2 = jnp.where(act & mz, iz + sz, iz)
+        t_cur = jnp.where(act, tcur, t_cur)
+        cx2 = jnp.where(act & mx, cx + sx, cx)
+        cy2 = jnp.where(act & my, cy + sy, cy)
+        cz2 = jnp.where(act & mz, cz + sz, cz)
         tx2 = jnp.where(act & mx, tx + adx, tx)
         ty2 = jnp.where(act & my, ty + ady, ty)
         tz2 = jnp.where(act & mz, tz + adz, tz)
         if sc_probe is not None:
-            # empty supercell: jump to its exit in one iteration (a solid
-            # probe inside an empty supercell is impossible, so skip and
-            # hit are mutually exclusive by construction)
-            skip = act & ~sc_probe(cx >> 3, cy >> 3, cz >> 3)
-            remx = jnp.where(sx > 0, 7 - (cx & 7), cx & 7).astype(f32)
-            remy = jnp.where(sy > 0, 7 - (cy & 7), cy & 7).astype(f32)
-            remz = jnp.where(sz > 0, 7 - (cz & 7), cz & 7).astype(f32)
+            # empty supercell: jump to its exit in one iteration (a
+            # refine hit inside an empty supercell is impossible, so
+            # skip and hit are mutually exclusive by construction)
+            skip = act & ~sc_probe(ccx >> 2, ccy >> 2, ccz >> 2)
+            remx = jnp.where(sx > 0, 3 - (ccx & 3), ccx & 3).astype(f32)
+            remy = jnp.where(sy > 0, 3 - (ccy & 3), ccy & 3).astype(f32)
+            remz = jnp.where(sz > 0, 3 - (ccz & 3), ccz & 3).astype(f32)
             t_exit = jnp.minimum(jnp.minimum(tx + remx * adx,
                                              ty + remy * ady),
-                                 tz + remz * adz) + f32(1e-4) * cell
+                                 tz + remz * adz) + f32(1e-4) * cell2
             qx2 = px + t_exit * dxc
             qy2 = py + t_exit * dyc
             qz2 = pz + t_exit * dzc
-            nix = jnp.floor(qx2 / cell).astype(i32)
-            niy = jnp.floor(qy2 / cell).astype(i32)
-            niz = jnp.floor(qz2 / cell).astype(i32)
+            nix = jnp.floor(qx2 / cell2).astype(i32)
+            niy = jnp.floor(qy2 / cell2).astype(i32)
+            niz = jnp.floor(qz2 / cell2).astype(i32)
             ntx = t_exit + (jnp.where(dxc > 0, nix + 1, nix).astype(f32)
-                            * cell - qx2) * inv_x
+                            * cell2 - qx2) * inv_x
             nty = t_exit + (jnp.where(dyc > 0, niy + 1, niy).astype(f32)
-                            * cell - qy2) * inv_y
+                            * cell2 - qy2) * inv_y
             ntz = t_exit + (jnp.where(dzc > 0, niz + 1, niz).astype(f32)
-                            * cell - qz2) * inv_z
-            ix2 = jnp.where(skip, nix, ix2)
-            iy2 = jnp.where(skip, niy, iy2)
-            iz2 = jnp.where(skip, niz, iz2)
+                            * cell2 - qz2) * inv_z
+            cx2 = jnp.where(skip, nix, cx2)
+            cy2 = jnp.where(skip, niy, cy2)
+            cz2 = jnp.where(skip, niz, cz2)
             tx2 = jnp.where(skip, ntx, tx2)
             ty2 = jnp.where(skip, nty, ty2)
             tz2 = jnp.where(skip, ntz, tz2)
-            t = jnp.where(skip, t_exit, t)
-        return (ix2, iy2, iz2, tx2, ty2, tz2, hit_i, t, steps, k + 1)
+            t_cur = jnp.where(skip, t_exit, t_cur)
+        return (cx2, cy2, cz2, tx2, ty2, tz2, hit_i, t_cur, fx, fy, fz,
+                t_hit, steps, k + 1)
 
     zi = jnp.zeros(px.shape, i32)
-    c0 = (ix, iy, iz, tx, ty, tz, zi, t_init, zi, jnp.asarray(0, i32))
+    c0 = (cx, cy, cz, tx, ty, tz, zi, t_init, cx * 2, cy * 2, cz * 2,
+          t_init, zi, jnp.asarray(0, i32))
     if early_exit:
         c = jax.lax.while_loop(
-            lambda c: (c[9] < max_steps) & jnp.any(live(c)), body, c0)
+            lambda c: (c[13] < max_steps) & jnp.any(live(c)), body, c0)
     else:
         c = jax.lax.fori_loop(0, max_steps, lambda _, c: body(c), c0)
-    ix, iy, iz, tx, ty, tz, hit_i, t, steps, _ = c
-    inside_i = (((ix >= 0) & (ix < n) & (iy >= 0) & (iy < n)
-                 & (iz >= 0) & (iz < n)) & ~misses_box).astype(i32)
+    (cx, cy, cz, tx, ty, tz, hit_i, t_cur, fx, fy, fz, t_hit,
+     steps, _) = c
+    hb = hit_i != 0
+    ix = jnp.where(hb, fx, cx * 2)
+    iy = jnp.where(hb, fy, cy * 2)
+    iz = jnp.where(hb, fz, cz * 2)
+    t = jnp.where(hb, t_hit, t_cur)
+    inside_i = (((cx >= 0) & (cx < n2) & (cy >= 0) & (cy < n2)
+                 & (cz >= 0) & (cz < n2)) & ~misses_box).astype(i32)
     return hit_i, ix, iy, iz, t, inside_i, steps
 
 
@@ -457,27 +642,25 @@ def _bcast_rows(block, n):
 
 
 def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
-               sc_skip, serve, serve_width, *args):
+               sc_skip, serve, serve_width, cloop, *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     explicit mode (cam_dims=None) args:
-      tslot, tcell, [bslot,] l0, mx, occ_0..occ_{KMAX-1}, [occ_hbm,]
-      key, ox, oy, oz, dx, dy, dz, t, pack, it
-      || keyo, to, packo, ito [ || scratch, dma_sem ]
+      tslot, tcell, [bslot,] l0, mx, occ_0..occ_{KMAX-1}, [occ_hbm,
+      co_hbm,] key, ox, oy, oz, dx, dy, dz, t, pack, it
+      || keyo, to, packo, ito [ || scratches, dma_sems ]
     camera mode (cam_dims=(W, H, world_size)) args:
       tslot, tcell, cam16, [bslot,] l0, mx, occ_0..occ_{KMAX-1},
-      [occ_hbm,] key, t, pack, it, rid
-      || keyo, to, packo, ito [ || scratch, dma_sem ]
+      [occ_hbm, co_hbm,] key, t, pack, it, rid
+      || keyo, to, packo, ito [ || scratches, dma_sems ]
     — the ray origin/direction are re-derived per lane from rid + the 15
     camera scalars, mirroring shade.pixel_dirs_rows + _init_state.
 
-    ``cont`` unrolls the {brick DDA, L0 march} pair against the tile's
-    static KMAX candidates (measured r2: no gain on terrain — the next
-    brick is rarely among them).  ``extra`` appends dynamic crossings:
-    the min pending cell across the tile is voted in-kernel, its
-    occupancy block DMA'd from HBM (bslot: SMEM cell->slot map), and the
-    matching lanes cross — the continuation the static candidates can't
-    provide.  extra>0 requires G<=32 (the SMEM map is G^3 words).
+    ``cont`` unrolls the {brick DDA, L0 march} crossing against the
+    tile's static KMAX candidates; ``cloop`` runs it as a bounded
+    lax.while_loop instead (flat compile cost) until no lane's cell is
+    covered by the candidates.  ``extra`` appends unrolled dynamic
+    crossings and ``serve`` the voted-DMA drain loop (module constants).
     """
     import jax.experimental.pallas as pl  # local: keeps CPU-importable
     from jax.experimental.pallas import tpu as pltpu
@@ -499,9 +682,12 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     occ_refs = [args.pop(0) for _ in range(KMAX)]
     sc_refs = [args.pop(0) for _ in range(KMAX)]
     occ_hbm_ref = args.pop(0) if need_dyn else None
+    co_hbm_ref = args.pop(0) if need_dyn else None
     VW = serve_width if serve else 1
     if need_dyn:
+        co_sems = [args.pop() for _ in range(VW)][::-1]
         dma_sems = [args.pop() for _ in range(VW)][::-1]
+        co_scratch_refs = [args.pop() for _ in range(VW)][::-1]
         scratch_refs = [args.pop() for _ in range(VW)][::-1]
     if cam_dims is None:
         (key_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref,
@@ -564,7 +750,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
         dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)
         inv_x, inv_y, inv_z = 1.0 / dxc, 1.0 / dyc, 1.0 / dzc
-        l0_rows = _bcast_rows(l0_ref, l0_ref.shape[0])
+        RB, RC = _l0_rows(G)   # l0_ref = byte-cell rows ++ coarse rows
+        l0b_rows = _bcast_rows(l0_ref, RB)
+        l0c_rows = [jnp.broadcast_to(l0_ref[RB + r:RB + r + 1, :],
+                                     (8, LANES)) for r in range(RC)]
         mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
         l0sc_rows = jnp.broadcast_to(l0sc_ref[0:1, :], (8, LANES))
         nsc = G // 8
@@ -577,14 +766,18 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         sc_rows_j = [jnp.broadcast_to(sc_refs[j][0], (8, LANES))
                      for j in range(KMAX)]
 
-        ZW = -(-G // 32)  # z-words per L0 column (2 when G=64)
+        ZW = -(-G // 32)  # z-words per L0 mixed column (2 when G=64)
+        HH = max(G // 2, 1)  # coarse L0 cells per edge
 
-        def l0_probe(cx, cy, cz):
-            if ZW == 1:
-                word = _fetch(l0_rows, cx * G + cy)
-                return ((word >> cz) & 1) != 0
-            word = _fetch(l0_rows, (cx * G + cy) * ZW + (cz >> 5))
-            return ((word >> (cz & 31)) & 1) != 0
+        def l0_probe_coarse(cx, cy, cz):
+            c = (cx * HH + cy) * HH + cz
+            word = _fetch(l0c_rows, c >> 5)
+            return ((word >> (c & 31)) & 1) != 0
+
+        def l0_probe_byte(cx, cy, cz):
+            c = (cx * HH + cy) * HH + cz
+            word = _fetch(l0b_rows, c >> 2)
+            return (word >> ((c & 3) * 8)) & 0xFF
 
         ws = G * 32
         zi = jnp.zeros(key0.shape, i32)
@@ -597,22 +790,27 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 
         def crossing(keyw, tw, packw, itw, cand):
             """One {brick DDA, L0 march} pair against candidate bricks
-            ``cand`` = [(cell, slot, occ_rows), ...] (traced scalars +
-            resident bit tables).  Returns the updated ray state."""
+            ``cand`` = [(cell, slot, byte_rows, coarse_bcast), ...]
+            (traced scalars + resident bit tables).  Returns the updated
+            ray state.
+
+            v4: ONE merged coarse-refine DDA advances every lane whose
+            cell is among the candidates simultaneously — the per-lane
+            candidate index selects between the resident tables at each
+            probe, replacing v3's KMAX sequential masked DDAs whose lane
+            utilization collapsed to ~run-length/1024 on incoherent
+            (bounce) tiles."""
             m_init = keyw == KEY_INIT
             m_brick = (keyw == cand[0][0])
+            ci = jnp.zeros(keyw.shape, i32)
             slot_v = jnp.full(keyw.shape, cand[0][1], i32)
             for j in range(1, len(cand)):
                 mj = keyw == cand[j][0]
                 m_brick = m_brick | mj
+                ci = jnp.where(mj, j, ci)
                 slot_v = jnp.where(mj, cand[j][1], slot_v)
 
-            # ---- phase 1: voxel DDA inside each lane's own brick --------
-            # The composite fetch reads ARBITRARY lanes of its table rows,
-            # so a per-lane personalized table cannot work (a lane would
-            # read another ray's brick bits — found the hard way).  The
-            # KMAX bricks run sequentially, each with its own clean table;
-            # early-exit while loops make absent/finished bricks free.
+            # ---- phase 1: merged coarse-refine DDA in each lane's brick
             kc = jnp.clip(keyw, 0, G * G * G - 1)
             bxv = (kc // (G * G)).astype(f32) * 32.0
             byv = ((kc // G) % G).astype(f32) * 32.0
@@ -622,34 +820,28 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             pz = oz + tw * dzc
             lx, ly, lz = px - bxv, py - byv, pz - bzv
 
-            hit1 = zi
-            fx, fy, fz = zi, zi, zi
-            t1 = zf
-            st1 = zi
-            for j in range(len(cand)):
-                mj = keyw == cand[j][0]
+            def probe_coarse(cx, cy, cz):
+                c = (cx * 16 + cy) * 16 + cz
+                w = c >> 5
+                word = jnp.take_along_axis(cand[0][3], w, axis=1)
+                for j in range(1, len(cand)):
+                    word = jnp.where(
+                        ci == j, jnp.take_along_axis(cand[j][3], w, axis=1),
+                        word)
+                return ((word >> (c & 31)) & 1) != 0
 
-                def occ_probe(cx, cy, cz, rows=cand[j][2]):
-                    word = _fetch(rows, cx * 32 + cy)
-                    return ((word >> cz) & 1) != 0
+            def probe_byte(cx, cy, cz):
+                c = (cx * 16 + cy) * 16 + cz
+                w = c >> 2
+                word = _fetch(cand[0][2], w)
+                for j in range(1, len(cand)):
+                    word = jnp.where(ci == j, _fetch(cand[j][2], w), word)
+                return (word >> ((c & 3) * 8)) & 0xFF
 
-                sc_probe = None
-                if sc_skip and cand[j][3] is not None:
-                    def sc_probe(sx_, sy_, sz_, rows=cand[j][3]):
-                        sbit = (sx_ * 16 + sy_ * 4) + sz_
-                        w = jnp.take_along_axis(rows, sbit >> 5, axis=1)
-                        return ((w >> (sbit & 31)) & 1) != 0
-
-                h, x, y, z, tt, _ins, st = _dda(
-                    lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-                    32, f32(1.0), occ_probe, inner_cap, mj.astype(i32),
-                    early_exit, sc_probe=sc_probe)
-                hit1 = jnp.where(mj, h, hit1)
-                fx = jnp.where(mj, x, fx)
-                fy = jnp.where(mj, y, fy)
-                fz = jnp.where(mj, z, fz)
-                t1 = jnp.where(mj, tt, t1)
-                st1 = st1 + jnp.where(mj, st, 0)
+            hit1, fx, fy, fz, t1, _ins1, st1 = _dda_cr(
+                lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                32, f32(1.0), probe_coarse, probe_byte, inner_cap,
+                m_brick.astype(i32), early_exit)
             hit1b = (hit1 != 0) & m_brick
 
             # ---- phase 2: L0 march to the next occupied brick ------------
@@ -658,10 +850,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             p2y = oy + t2_0 * dyc
             p2z = oz + t2_0 * dzc
             act2 = (m_brick & ~hit1b) | m_init
-            hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda(
+            hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda_cr(
                 p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-                G, f32(32.0), l0_probe, l0_cap, act2.astype(i32),
-                early_exit,
+                G, f32(32.0), l0_probe_coarse, l0_probe_byte, l0_cap,
+                act2.astype(i32), early_exit,
                 sc_probe=l0_sc_probe if (sc_skip and G >= 8) else None)
             hit2b = hit2 != 0
             ins2b = ins2 != 0
@@ -729,6 +921,34 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             keyw, tw, packw, itw = crossing(keyw, tw, packw, itw,
                                             static_cand)
 
+        if cloop:
+            # candidate-coverage loop: keep crossing while ANY lane's
+            # current cell is still among the tile's static candidates
+            # (or un-classified).  A lax.while_loop — ONE crossing body
+            # regardless of the bound — so a ray crosses as many bricks
+            # per sorted round as the candidate set covers, instead of
+            # v3's one-crossing-per-round retire-rate ceiling that drove
+            # 10-16 round ladders (VERDICT r3 item 1).
+            def _cl_cond(c):
+                keycl = c[0]
+                inc = keycl == KEY_INIT
+                for j in range(KMAX):
+                    inc = inc | (keycl == cells[j])
+                return (c[4] < cloop) & jnp.any(inc)
+
+            def _cl_body(c):
+                keycl, tcl, pkcl, itcl, n2 = c
+                keycl, tcl, pkcl, itcl = crossing(keycl, tcl, pkcl, itcl,
+                                                  static_cand)
+                give = (keycl != KEY_DONE) & (itcl >= ITER_CAP)
+                keycl = jnp.where(give, KEY_DONE, keycl)
+                pkcl = jnp.where(give, PACK_MISS, pkcl)
+                return keycl, tcl, pkcl, itcl, n2 + 1
+
+            keyw, tw, packw, itw, _ncl = jax.lax.while_loop(
+                _cl_cond, _cl_body,
+                (keyw, tw, packw, itw, jnp.asarray(0, i32)))
+
         # ---- dynamic continuation: serve the tile's min pending cell by
         # DMAing its occupancy block in-kernel, so coherent rays cross
         # several bricks per sorted round instead of punting (the static
@@ -746,9 +966,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 
         def _serve_step(keyw, tw, packw, itw):
             """Vote up to VW DISTINCT pending cells; their occupancy
-            DMAs fly concurrently (start at vote time, wait at use time)
-            so the per-block latency amortizes VW-fold; then one
-            crossing against all VW candidates."""
+            (byte-cell) and coarse-bit block DMAs fly concurrently
+            (start at vote time, wait at use time) so the per-block
+            latency amortizes VW-fold; then one crossing against all VW
+            candidates."""
             pend = (keyw >= 0) & (keyw < KEY_DONE)
             votes = []
             mask = pend
@@ -758,14 +979,22 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                 slot_dyn = _slot_of(cmin)
                 pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
                                       scratch_refs[v], dma_sems[v]).start()
+                pltpu.make_async_copy(co_hbm_ref.at[slot_dyn],
+                                      co_scratch_refs[v],
+                                      co_sems[v]).start()
                 votes.append((ccand, slot_dyn))
                 mask = mask & (keyw > cmin)
             cand = []
             for v, (ccand, slot_dyn) in enumerate(votes):
                 pltpu.make_async_copy(occ_hbm_ref.at[slot_dyn],
                                       scratch_refs[v], dma_sems[v]).wait()
+                pltpu.make_async_copy(co_hbm_ref.at[slot_dyn],
+                                      co_scratch_refs[v],
+                                      co_sems[v]).wait()
                 cand.append((ccand, slot_dyn,
-                             _bcast_rows(scratch_refs[v][:], 8), None))
+                             _bcast_rows(scratch_refs[v][:], 8),
+                             jnp.broadcast_to(co_scratch_refs[v][:],
+                                              (8, LANES))))
             return crossing(keyw, tw, packw, itw, cand)
 
         for _e in range(extra):
@@ -808,12 +1037,13 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
                  cont=1, cam=None, cam_dims=None, extra=0, brick_slot=None,
                  sc_words=None, sc_skip=True, l0_sc=None, serve=0,
-                 serve_width=1):
+                 serve_width=1, cloop=0):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
     round bodies).  ``cam``/(static) ``cam_dims`` select camera mode;
     ``extra``/``serve`` enable the in-kernel dynamic continuation / serve
     loop (both need ``brick_slot``); ``serve_width`` = concurrent block
-    DMAs per serve iteration (G<=32 only)."""
+    DMAs per serve iteration (valid at every G — the packed16 SMEM slot
+    map keeps the vote's cell->slot lookup in SMEM at G>32)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -830,7 +1060,7 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
                              early_exit, cont, cam_dims, extra, sc_skip,
-                             serve, serve_width)
+                             serve, serve_width, cloop)
     scalars = ()
     if cam_dims is not None:
         scalars += (cam.astype(f32),)
@@ -870,11 +1100,13 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                   pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_sc
         + [occ_spec(j) for j in range(KMAX)]
         + [sc_spec(j) for j in range(KMAX)]
-        + ([pl.BlockSpec(memory_space=pl.ANY)] if need_dyn else [])
+        + ([pl.BlockSpec(memory_space=pl.ANY)] * 2 if need_dyn else [])
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
         scratch_shapes=(
             ([pltpu.VMEM((8, LANES), i32)] * VW
+             + [pltpu.VMEM((1, LANES), i32)] * VW
+             + [pltpu.SemaphoreType.DMA] * VW
              + [pltpu.SemaphoreType.DMA] * VW)
             if need_dyn else []),
     )
@@ -887,7 +1119,7 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     else:
         ins = [rs(a) for a in state]                # key, t, pack, it, rid
 
-    hbm_extra = (occ_words,) if need_dyn else ()
+    hbm_extra = (occ_words, sc_words) if need_dyn else ()
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
         out_shape=tuple(
@@ -906,14 +1138,14 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
 _run_kernel = functools.partial(jax.jit, static_argnames=(
     "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
     "interpret", "cam_dims", "extra", "sc_skip", "serve",
-    "serve_width"))(_call_kernel)
+    "serve_width", "cloop"))(_call_kernel)
 
 
 def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                 opack, ot, oit, halvings, G, NM, inner_cap, l0_cap,
                 early_exit, interpret, cont=1, cam=None, cam_dims=None,
                 extra=0, sc_words=None, sc_skip=True, l0_sc=None, serve=0,
-                serve_width=1):
+                serve_width=1, cloop=0):
     """One full wavefront round: sort + tile tables + ``halvings``
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
@@ -933,14 +1165,14 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                           interpret, cont, cam=cam, cam_dims=cam_dims,
                           extra=extra, brick_slot=brick_slot,
                           sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc,
-                          serve=serve, serve_width=serve_width)
+                          serve=serve, serve_width=serve_width, cloop=cloop)
     return state2, (opack, ot, oit), n_act
 
 
 _round_fused = functools.partial(jax.jit, static_argnames=(
     "halvings", "G", "NM", "inner_cap", "l0_cap", "early_exit", "cont",
-    "interpret", "cam_dims", "extra", "sc_skip", "serve", "serve_width"),
-    donate_argnums=(0, 5, 6, 7))(_round_body)
+    "interpret", "cam_dims", "extra", "sc_skip", "serve", "serve_width",
+    "cloop"), donate_argnums=(0, 5, 6, 7))(_round_body)
 
 
 # -------------------------------------------------------------------- driver
@@ -1100,7 +1332,7 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                 NM, ws, capacity, inner_cap, l0_cap, early_exit, interpret,
                 cont, local_round1, cam_dims, min_tiles, extra=0,
                 sc_skip=True, serve=0, serve_width=1, serve_local=True,
-                serve_bulk=0):
+                serve_bulk=0, cloop=0):
     """The full round ladder as one traceable function (static
     ``schedule`` = per-round halving counts recorded by a dynamic run).
     Returns (HitResult, n_left) — n_left>0 means the replayed schedule
@@ -1131,7 +1363,7 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              brick_slot=brick_slot, sc_words=sc_words,
                              sc_skip=sc_skip, l0_sc=l0_sc,
                              serve=serve if serve_local else 0,
-                             serve_width=serve_width)
+                             serve_width=serve_width, cloop=cloop)
     for i, h in enumerate(schedule):
         # bulk rounds run static candidates plus a small serve bound
         # (serve_bulk crossings beyond the KMAX candidates); the FINAL
@@ -1144,7 +1376,7 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
             h, G, NM, inner_cap, l0_cap, early_exit, interpret, cont,
             cam=cam, cam_dims=cam_dims, extra=extra, sc_words=sc_words,
             sc_skip=sc_skip, l0_sc=l0_sc, serve=sv,
-            serve_width=serve_width)
+            serve_width=serve_width, cloop=cloop)
         opack, ot, oit = bufs
     opack, ot, oit = _harvest(state[-4], state[-3], state[-2],
                               opack, ot, oit, state[-1])
@@ -1158,17 +1390,17 @@ _trace_static = functools.partial(jax.jit, static_argnames=(
     "schedule", "B", "G", "NM", "ws", "capacity", "inner_cap", "l0_cap",
     "early_exit", "interpret", "cont", "local_round1", "cam_dims",
     "min_tiles", "extra", "sc_skip", "serve", "serve_width",
-    "serve_local", "serve_bulk"))(_trace_body)
+    "serve_local", "serve_bulk", "cloop"))(_trace_body)
 
 
 def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cone_trace=False, max_iterations=None, active=None,
                         max_rounds=96, interpret=None, early_exit=True,
-                        min_tiles=2, cont=1, local_round1=True,
+                        min_tiles=2, cont=None, local_round1=True,
                         defer_sync=True, profile=None, camera=None,
                         schedule=None, schedule_slack=1, extra=None,
                         sc_skip=True, serve=None, serve_width=None,
-                        serve_local=True, serve_bulk=0):
+                        serve_local=True, serve_bulk=0, cloop=None):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -1210,6 +1442,13 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         serve = DEFAULT_SERVE
     if serve_width is None:
         serve_width = DEFAULT_SERVE_WIDTH
+    if cloop is None:
+        cloop = DEFAULT_CLOOP
+    if cont is None:
+        # the coverage loop subsumes the unrolled crossing (its first
+        # iteration IS the cont=1 crossing); compiling both would double
+        # the kernel body for nothing
+        cont = 0 if cloop else 1
     inner_cap, l0_cap = _resolve_caps(G)
 
     cam = None
@@ -1238,7 +1477,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             interpret=interpret, cont=cont, local_round1=local_round1,
             cam_dims=cam_dims, min_tiles=min_tiles, extra=extra,
             sc_skip=sc_skip, serve=serve, serve_width=serve_width,
-            serve_local=serve_local, serve_bulk=serve_bulk)
+            serve_local=serve_local, serve_bulk=serve_bulk, cloop=cloop)
         return res, n_left
 
     # ---------------- dynamic round loop (schedule discovery) ----------
@@ -1278,7 +1517,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             sc_words=wscene.sc_words, sc_skip=sc_skip,
                             l0_sc=wscene.l0_sc,
                             serve=serve if serve_local else 0,
-                            serve_width=serve_width)
+                            serve_width=serve_width, cloop=cloop)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,
@@ -1290,12 +1529,26 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     # scalar sync; the ladder then starts only if rays actually punted)
     pending = (jnp.sum((state[0] != KEY_DONE).astype(i32))
                if (serve and serve_local and local_round1) else None)
+    stall = 0
+    prev_n = None
     for r in range(1, max_rounds + 1):
         # block on the PREVIOUS round's count (already computed — near-
         # zero wait); it upper-bounds the current actives
         n = int(pending) if pending is not None else S
         if n == 0:
             break
+        # serve=0 has no in-kernel drain: a livelocked tiny residue
+        # (sub-ulp DDA steps) would otherwise run the ladder to
+        # max_rounds at full sort cost — retire it as misses like the
+        # serve path's ITER_CAP giveup does (ADVICE r3)
+        if not serve:
+            if prev_n == n and n <= TILE:
+                stall += 1
+                if stall >= 6:
+                    break
+            else:
+                stall = 0
+            prev_n = n
         # static halving count for this round's fused dispatch;
         # schedule_slack>1 under-compacts so a replay tolerates variation
         T = state[0].shape[0] // TILE
@@ -1316,7 +1569,7 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
             cam=cam, cam_dims=cam_dims, extra=extra,
             sc_words=wscene.sc_words, sc_skip=sc_skip,
             l0_sc=wscene.l0_sc, serve=serve if drain else serve_bulk,
-            serve_width=serve_width)
+            serve_width=serve_width, cloop=cloop)
         opack, ot, oit = bufs
         rec_schedule.append(halvings)
         pending = n_act

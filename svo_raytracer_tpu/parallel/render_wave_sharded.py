@@ -155,9 +155,10 @@ def make_wave_sharded_render(mesh: Mesh, wscene, width: int, height: int,
     def trace(o, d, act, warr, sched, serve_local=False):
         return _trace_body(o, d, act, None, warr, tuple(sched), B, G, cap,
                            ws_sz, cap, inner_cap, l0_cap, True, interpret,
-                           1, True, None, min_tiles, extra=extra,
+                           0, True, None, min_tiles, extra=extra,
                            serve=serve, serve_width=serve_width,
-                           serve_local=serve_local)
+                           serve_local=serve_local,
+                           cloop=wavefront.DEFAULT_CLOOP)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

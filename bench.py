@@ -218,6 +218,9 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
         "frame_ms": round(dt * 1e3, 1),
+        # stranded-ray residue the last frame accepted under _stale_tol,
+        # per traversal segment (rendered as misses; VERDICT r3 item 6)
+        "n_left": dict(render_wave.last_residue),
     }
     print(json.dumps(row), flush=True)
 

@@ -113,6 +113,14 @@ def _stale_tol(B):
     return max(8, B // 10000)
 
 
+# Per-frame miss-residue observability (VERDICT r3 item 6): the stranded
+# ray counts the last rendered frame ACCEPTED under _stale_tol, keyed by
+# segment tag.  bench.py and the gate publish these so a regression from
+# ~0 rays to thousands inside the tolerance boundary is visible in the
+# recorded rows rather than silently tolerated.
+last_residue: dict = {}
+
+
 def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
             **kw):
     # camera-mode segments re-trace identical rays every frame (the
@@ -129,6 +137,7 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
         # break (livelocked rays retire as misses either way) — only a
         # real divergence (camera/RNG outgrew the ladder) re-records
         if int(n_left) <= _stale_tol(o.shape[0]):
+            last_residue[tag] = int(n_left)
             return res
         del _SCHED[key]  # stale: fall through to dynamic + re-record
         slack = min(slack * 2, 8)
@@ -343,8 +352,11 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
                    if wscene.grid_size <= 32 else 0),
             serve=wavefront.DEFAULT_SERVE,
             serve_width=wavefront.DEFAULT_SERVE_WIDTH)
-        stale = np.asarray(n_lefts) > _stale_tol(B)
+        nl = np.asarray(n_lefts)
+        stale = nl > _stale_tol(B)
         if not stale.any():
+            last_residue.clear()
+            last_residue.update(zip(tags, nl.tolist()))
             return col, depth, it
         for i, k in enumerate(keys[:len(stale)]):
             if stale[i]:

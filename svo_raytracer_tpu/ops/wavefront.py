@@ -137,6 +137,17 @@ ITER_CAP = np.int32(4000)
 # 1774-voxel world diagonal is 0.18 voxel.  brick_trace/brick_dda use
 # the same value (oracle lock-step).
 _DIR_EPS = np.float32(1e-4)
+# Gate the _dda_cr refine block behind lax.cond(any lane on an occupied
+# coarse cell): iterations through empty space skip the byte fetch +
+# sub-DDA entirely.  Module-level so on-chip jobs can A/B it (reload the
+# module per setting — jit caches key on shapes, not module globals).
+GATE_REFINE = True
+# Fill unused tile-candidate slots with cells marched along the tile's
+# mean ray (_predicted_tables).  Without it a coherent tile exposes 1-2
+# distinct cells and the candidate-coverage loop degenerates to one
+# crossing per sorted round.  Module-level for on-chip A/B (reload the
+# module per setting).
+PREDICT = True
 
 # state tuple layouts (key first; (t, pack, it, rid) always last):
 #   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
@@ -417,7 +428,7 @@ def _fetch(rows, w):
 
 def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
             probe_coarse, probe_byte, max_steps, act0, early_exit,
-            sc_probe=None, gate_refine=True):
+            sc_probe=None, gate_refine=None):
     """Masked coarse-refine DDA over an n^3 grid of ``cell``-edge FINE
     cells in [0, n*cell]^3 (v4 engine; replaces the per-fine-cell v3
     march).  The loop steps at 2x2x2-fine-cell COARSE granularity:
@@ -444,6 +455,8 @@ def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
     act0 i32.  Returns (hit_i, ix, iy, iz, t, inside_i, steps) in fine
     coords; for non-hit lanes t is how far the march got (stuck/missed
     handling in the caller is unchanged from v3)."""
+    if gate_refine is None:
+        gate_refine = GATE_REFINE
     n2 = max(n // 2, 1)
     cell2 = f32(2.0) * cell
     gf = f32(n) * cell
@@ -1150,7 +1163,10 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
     static-schedule trace."""
-    srt, tile_slot, tile_cell, n_act = _sort_stage(state, brick_slot)
+    occ_flat = _cell_occ_flat(l0_occ, G) if PREDICT else None
+    srt, tile_slot, tile_cell, n_act = _sort_stage(state, brick_slot,
+                                                   occ_flat, cam,
+                                                   cam_dims=cam_dims)
     for _ in range(halvings):
         T = tile_slot.shape[0]
         T2 = (T + 1) // 2
@@ -1176,15 +1192,164 @@ _round_fused = functools.partial(jax.jit, static_argnames=(
 
 
 # -------------------------------------------------------------------- driver
-@jax.jit
-def _sort_stage(state, brick_slot):
+def _cell_occ_flat(l0_cat, G):
+    """(G^3,) i32 occupied-cell flags decoded from the concatenated L0
+    coarse-refine rows (kept derived rather than stored so the warrays
+    tuple stays 8 arrays everywhere)."""
+    h = max(G // 2, 1)
+    c = jnp.arange(G * G * G, dtype=i32)
+    x, y, z = c // (G * G), (c // G) % G, c % G
+    if G == 1:
+        return (l0_cat.reshape(-1)[0] & 1).reshape(1)
+    cc = ((x >> 1) * h + (y >> 1)) * h + (z >> 1)
+    word = l0_cat.reshape(-1)[cc >> 2]
+    byte = (word >> ((cc & 3) * 8)) & 0xFF
+    bit = ((x & 1) << 2) | ((y & 1) << 1) | (z & 1)
+    return (byte >> bit) & 1
+
+
+def _march_candidates(mp, md, occ_flat, G, K, valid):
+    """March each tile's mean ray (mp (T,3) voxel units, md (T,3)) over
+    the G^3 occupied-cell grid and collect the first K occupied cells.
+    Returns (T, K) i32 cells, -1 padded.  ~T-wide vectors for <=3G+4
+    steps — negligible next to the round's 2M-ray sort."""
+    T = mp.shape[0]
+    eps = _DIR_EPS
+    d = jnp.where(jnp.abs(md) < eps, jnp.where(md >= 0, eps, -eps), md)
+    inv = 1.0 / d
+    ix = jnp.clip((mp[:, 0] / 32.0).astype(i32), 0, G - 1)
+    iy = jnp.clip((mp[:, 1] / 32.0).astype(i32), 0, G - 1)
+    iz = jnp.clip((mp[:, 2] / 32.0).astype(i32), 0, G - 1)
+    sx = jnp.where(d[:, 0] > 0, i32(1), i32(-1))
+    sy = jnp.where(d[:, 1] > 0, i32(1), i32(-1))
+    sz = jnp.where(d[:, 2] > 0, i32(1), i32(-1))
+    nx = jnp.where(d[:, 0] > 0, ix + 1, ix).astype(f32) * 32.0
+    ny = jnp.where(d[:, 1] > 0, iy + 1, iy).astype(f32) * 32.0
+    nz = jnp.where(d[:, 2] > 0, iz + 1, iz).astype(f32) * 32.0
+    tx = (nx - mp[:, 0]) * inv[:, 0]
+    ty = (ny - mp[:, 1]) * inv[:, 1]
+    tz = (nz - mp[:, 2]) * inv[:, 2]
+    adx = jnp.abs(inv[:, 0]) * 32.0
+    ady = jnp.abs(inv[:, 1]) * 32.0
+    adz = jnp.abs(inv[:, 2]) * 32.0
+    cand0 = jnp.full((T, K), -1, i32)
+    cnt0 = jnp.zeros(T, i32)
+
+    def body(_, c):
+        ix, iy, iz, tx, ty, tz, cand, cnt = c
+        inside = ((ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
+                  & (iz >= 0) & (iz < G)) & valid
+        cell = (jnp.clip(ix, 0, G - 1) * G + jnp.clip(iy, 0, G - 1)) * G \
+            + jnp.clip(iz, 0, G - 1)
+        occ = (occ_flat[cell] != 0) & inside
+        put = occ & (cnt < K)
+        sel = put[:, None] & (jnp.arange(K, dtype=i32)[None, :]
+                              == cnt[:, None])
+        cand = jnp.where(sel, cell[:, None], cand)
+        cnt = cnt + put.astype(i32)
+        mx = (tx <= ty) & (tx <= tz)
+        my = ~mx & (ty <= tz)
+        mz = ~mx & ~my
+        ix = jnp.where(mx, ix + sx, ix)
+        iy = jnp.where(my, iy + sy, iy)
+        iz = jnp.where(mz, iz + sz, iz)
+        tx = jnp.where(mx, tx + adx, tx)
+        ty = jnp.where(my, ty + ady, ty)
+        tz = jnp.where(mz, tz + adz, tz)
+        return ix, iy, iz, tx, ty, tz, cand, cnt
+
+    c = jax.lax.fori_loop(0, 3 * G + 4, body,
+                          (ix, iy, iz, tx, ty, tz, cand0, cnt0))
+    return c[6]
+
+
+def _merge_candidates(present, marched, brick_slot):
+    """First-KMAX unique union of present tile cells and marched
+    predictions (present first — they hold live lanes)."""
+    cand = jnp.concatenate([present, marched], axis=1)  # (T, 2K)
+    twoK = cand.shape[1]
+    validc = cand >= 0
+    eq = (cand[:, :, None] == cand[:, None, :]) & validc[:, None, :]
+    earlier = jnp.tril(jnp.ones((twoK, twoK), bool), -1)
+    dup = (eq & earlier[None]).any(axis=1)
+    keep = validc & ~dup
+    rank = jnp.cumsum(keep.astype(i32), axis=1) - 1
+    cells = [jnp.max(jnp.where(keep & (rank == r), cand, -1), axis=1)
+             for r in range(KMAX)]
+    tile_cell = jnp.stack(cells, axis=1)
+    tile_slot = jnp.where(tile_cell >= 0,
+                          brick_slot[jnp.maximum(tile_cell, 0)], -1)
+    return tile_slot, tile_cell
+
+
+def _cam_rays(rid, cam, cam_dims):
+    """Vectorized mirror of the kernel's per-lane camera derivation."""
+    W, H, ws_world = cam_dims
+    pyi = rid // W
+    pxi = rid - pyi * W
+    u = ((pxi.astype(f32) + f32(0.5)) / f32(W))[:, None]
+    v = ((pyi.astype(f32) + f32(0.5)) / f32(H))[:, None]
+    c = cam[:15].reshape(5, 3)
+    left = c[1][None] + (c[2] - c[1])[None] * v
+    right = c[3][None] + (c[4] - c[3])[None] * v
+    dun = left + (right - left) * u
+    d = dun / jnp.linalg.norm(dun, axis=-1, keepdims=True)
+    o = jnp.broadcast_to((c[0] - 1.0) * f32(ws_world), d.shape)
+    return o, d
+
+
+def _tile_means(key, pos, dirs):
+    """Per-tile mean position/direction over pending-at-cell lanes.
+    For bounce tiles the cosine-weighted mean direction approximates
+    the shared surface normal — the dominant escape direction — so the
+    marched prediction covers the cells most bounce rays traverse."""
+    T = key.shape[0] // TILE
+    w = (((key >= 0) & (key < KEY_DONE)).astype(f32)).reshape(T, TILE)
+    sw = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mp = jnp.stack([jnp.sum(pos[:, a].reshape(T, TILE) * w, axis=1) / sw
+                    for a in range(3)], axis=1)
+    mdu = jnp.stack([jnp.sum(dirs[:, a].reshape(T, TILE) * w, axis=1)
+                     for a in range(3)], axis=1)
+    nrm = jnp.linalg.norm(mdu, axis=1, keepdims=True)
+    md = mdu / jnp.maximum(nrm, 1e-20)
+    return mp, md, jnp.sum(w, axis=1) > 0
+
+
+def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, occ_flat):
+    """Tile tables = present distinct cells ++ cells marched along the
+    tile's mean ray (the v4 candidate-prediction: a tile whose lanes
+    share one cell otherwise wastes KMAX-1 candidate slots, capping
+    cloop at ONE crossing per sorted round)."""
+    tile_slot, tile_cell, n_act = _distinct_tables(kt_rows, brick_slot)
+    G = round(occ_flat.shape[0] ** (1 / 3))
+    mp, md, valid = _tile_means(key_flat, pos, dirs)
+    marched = _march_candidates(mp, md, occ_flat, G, KMAX, valid)
+    tile_slot, tile_cell = _merge_candidates(tile_cell, marched,
+                                             brick_slot)
+    return tile_slot, tile_cell, n_act
+
+
+@functools.partial(jax.jit, static_argnames=("cam_dims",))
+def _sort_stage(state, brick_slot, occ_flat=None, cam=None, cam_dims=None):
     """Sort by key, build tile tables, count actives.  Runs once per
     round at the current (static) size.  Results of finished rays ride
     the sort into the tail and are harvested when compaction slices them
     off (_harvest) — scattering them every round would cost full-size
     random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round)."""
     srt = jax.lax.sort(tuple(state), num_keys=1)
-    tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
+    if occ_flat is None:
+        tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
+        return srt, tile_slot, tile_cell, n_act
+    key = srt[0]
+    if cam_dims is None:
+        _, ox, oy, oz, dx, dy, dz, t = srt[:8]
+        pos = jnp.stack([ox + t * dx, oy + t * dy, oz + t * dz], axis=1)
+        dirs = jnp.stack([dx, dy, dz], axis=1)
+    else:
+        o, dirs = _cam_rays(srt[4], cam, cam_dims)
+        pos = o + srt[1][:, None] * dirs
+    tile_slot, tile_cell, n_act = _predicted_tables(
+        key.reshape(-1, TILE), key, pos, dirs, brick_slot, occ_flat)
     return srt, tile_slot, tile_cell, n_act
 
 
@@ -1210,16 +1375,27 @@ def _tile_tables(key, brick_slot):
     return _distinct_tables(key.reshape(-1, TILE), brick_slot)
 
 
-@jax.jit
-def _tile_tables_local(key, brick_slot):
+@functools.partial(jax.jit, static_argnames=("cam_dims",))
+def _tile_tables_local(key, brick_slot, occ_flat=None, cam=None,
+                       cam_dims=None, state=None):
     """Tables for the UNSORTED pixel layout: per-tile sort of the keys
     only (a batched 1024-wide sort, not the multi-operand global sort).
     Exploits primary/bounce-ray coherence — a 32x32-pixel tile's rays
     stop in a handful of bricks — so round 1 skips the full-size
     multi-payload sort; lanes beyond the KMAX candidate cells punt to
-    the sorted rounds."""
+    the sorted rounds.  With ``occ_flat`` the unused candidate slots are
+    filled by the marched prediction (_predicted_tables)."""
     kt = jnp.sort(key.reshape(-1, TILE), axis=1)
-    return _distinct_tables(kt, brick_slot)
+    if occ_flat is None:
+        return _distinct_tables(kt, brick_slot)
+    if cam_dims is None:
+        _, ox, oy, oz, dx, dy, dz, t = state[:8]
+        pos = jnp.stack([ox + t * dx, oy + t * dy, oz + t * dz], axis=1)
+        dirs = jnp.stack([dx, dy, dz], axis=1)
+    else:
+        o, dirs = _cam_rays(state[4], cam, cam_dims)
+        pos = o + state[1][:, None] * dirs
+    return _predicted_tables(kt, key, pos, dirs, brick_slot, occ_flat)
 
 
 @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
@@ -1347,6 +1523,7 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
     opack = jnp.full((B + 1,), PACK_MISS, i32)
     ot = jnp.zeros((B + 1,), f32)
     oit = jnp.zeros((B + 1,), i32)
+    occ_flat = _cell_occ_flat(l0_occ, G) if PREDICT else None
 
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
     state = _call_kernel(none_slot, none_slot, l0_occ, l0_mixed, occ_words,
@@ -1355,7 +1532,9 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                          extra=extra, brick_slot=brick_slot,
                          sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc)
     if local_round1:
-        tile_slot, tile_cell, _n = _tile_tables_local(state[0], brick_slot)
+        tile_slot, tile_cell, _n = _tile_tables_local(
+            state[0], brick_slot, occ_flat, cam, cam_dims=cam_dims,
+            state=state)
         state = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed,
                              occ_words, state, G, NM, inner_cap, l0_cap,
                              early_exit, interpret, cont, cam=cam,
@@ -1491,12 +1670,15 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     oit = jnp.zeros((B + 1,), i32)
 
     # round 0: all rays are KEY_INIT -> pure L0 march, no binning needed
+    # (cont=1 explicitly: in cloop mode the ladder rounds run cont=0,
+    # but round 0 must still execute its one classify crossing — and
+    # matching the static path's round-0 config keeps the jit cache hot)
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
     state = _run_kernel(none_slot, none_slot, wscene.l0_occ,
                         wscene.l0_mixed, wscene.occ_words, state, G=G,
                         NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
                         early_exit=early_exit, interpret=interpret,
-                        cam=cam, cam_dims=cam_dims, extra=extra,
+                        cont=1, cam=cam, cam_dims=cam_dims, extra=extra,
                         brick_slot=wscene.brick_slot,
                         sc_words=wscene.sc_words, sc_skip=sc_skip,
                         l0_sc=wscene.l0_sc)
@@ -1504,10 +1686,13 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
 
+    occ_flat = (jax.jit(_cell_occ_flat, static_argnums=1)(
+        wscene.l0_occ, G) if PREDICT else None)
     if local_round1:
         # round 1 without the global sort: pixel-coherent tile tables
-        tile_slot, tile_cell, _n = _tile_tables_local(state[0],
-                                                      wscene.brick_slot)
+        tile_slot, tile_cell, _n = _tile_tables_local(
+            state[0], wscene.brick_slot, occ_flat, cam, cam_dims=cam_dims,
+            state=state)
         state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,

@@ -76,6 +76,7 @@ def test_device_tree_grows_on_overflow():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_viewer_scripted_session(tmp_path):
     """End-to-end headless session: move, rotate, switch mode, screenshot,
     place a sphere, save, quit — the Main.updateEarly flow."""
@@ -102,6 +103,7 @@ def test_viewer_beam_mode(tmp_path):
     assert viewer.use_beam  # toggled on
 
 
+@pytest.mark.slow
 def test_viewer_wavefront_accumulation_and_incremental_edit(tmp_path):
     """VERDICT r1 item 7: scripted session shows (a) progressive mode-0
     accumulation that resets on camera motion, (b) an SDF edit applied via

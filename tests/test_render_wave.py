@@ -14,6 +14,7 @@ from conftest import make_terrain_voxels
 from svo_raytracer_tpu.core import build_np
 from svo_raytracer_tpu.ops import brick_scene, render_wave, shade, wavefront
 from svo_raytracer_tpu.utils.camera import Camera
+import pytest
 
 W, H = 64, 40
 
@@ -34,6 +35,7 @@ def _frac_close(a, b, tol=2e-3):
     return (np.abs(a - b).max(axis=-1) <= tol).mean()
 
 
+@pytest.mark.slow
 def test_modes_match_esvo():
     tree, ws, cam5 = _setup()
     for mode in (0, 2, 3):
@@ -61,6 +63,7 @@ def test_heatmap_structure():
     assert np.asarray(got_i).max() > 0
 
 
+@pytest.mark.slow
 def test_mirror_values():
     tree, ws, cam5 = _setup()
     ref_c, _, _ = shade.render_image(tree.arrays(), cam5, W, H,
@@ -72,6 +75,7 @@ def test_mirror_values():
     assert _frac_close(ref_c, got_c) >= 0.97
 
 
+@pytest.mark.slow
 def test_schedule_persistence(tmp_path):
     """save_schedules/load_schedules round-trip: a reloaded schedule
     replays without re-recording (drives the bench.py cold-start path)."""

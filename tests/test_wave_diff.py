@@ -14,6 +14,8 @@ from svo_raytracer_tpu.diff import wave_diff as wd
 from svo_raytracer_tpu.ops import brick_scene, wavefront
 from svo_raytracer_tpu.utils.camera import Camera
 
+pytestmark = pytest.mark.slow  # nightly tier (pytest.ini)
+
 
 def _two_wall_scene():
     """Two parallel 1-voxel walls normal to +z: every center ray crosses

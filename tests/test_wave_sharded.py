@@ -12,6 +12,8 @@ from svo_raytracer_tpu.parallel import mesh as mesh_mod
 from svo_raytracer_tpu.parallel import render_wave_sharded as rws
 from svo_raytracer_tpu.utils.camera import Camera
 
+pytestmark = pytest.mark.slow  # nightly tier (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def wscene_cam():

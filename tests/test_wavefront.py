@@ -14,6 +14,7 @@ from conftest import make_sphere_voxels, make_terrain_voxels
 from svo_raytracer_tpu.core import build_np
 from svo_raytracer_tpu.ops import brick_scene, brick_trace, wavefront
 from test_traverse_batch import random_rays
+import pytest
 
 
 def _compare(tree, origins, dirs, min_hit_agree=0.995, min_strict=0.98,
@@ -56,6 +57,7 @@ def test_terrain_64():
     _compare(tree, o, d)
 
 
+@pytest.mark.slow
 def test_terrain_64_no_early_exit():
     vox = make_terrain_voxels(64, seed=3)
     tree = build_np.build_octree_np(vox)
@@ -78,6 +80,7 @@ def test_active_mask_and_nan():
     assert hit[0] and not hit[1] and not hit[2]
 
 
+@pytest.mark.slow
 def test_static_schedule_replay():
     """A recorded schedule replayed as one jitted dispatch must agree
     with the dynamic trace exactly (same kernels, same round count)."""
@@ -99,6 +102,7 @@ def test_static_schedule_replay():
         assert np.array_equal(a, b), k
 
 
+@pytest.mark.slow
 def test_camera_mode_matches_explicit():
     """Camera mode (5-operand sort, in-kernel ray derivation) must match
     the explicit path bit-for-bit in interpret mode — the kernel mirrors
@@ -138,6 +142,7 @@ def test_camera_mode_matches_explicit():
     assert np.array_equal(np.asarray(got.hit), np.asarray(got2.hit))
 
 
+@pytest.mark.slow
 def test_extra_dynamic_continuation():
     """extra>0 (in-kernel DMA continuation) must agree exactly with
     extra=0 and converge in fewer sorted rounds (serve disabled so the
@@ -203,6 +208,7 @@ def test_serve_loop_drains_incoherent_rays():
     assert np.array_equal(np.asarray(rs_.hit), np.asarray(got.hit))
 
 
+@pytest.mark.slow
 def test_serve_loop_bound_punts_to_ladder():
     """A tiny serve bound must not lose rays — lanes past the bound punt
     to the sorted rounds and still resolve to the same hits."""
@@ -219,6 +225,7 @@ def test_serve_loop_bound_punts_to_ladder():
                        atol=2e-4)
 
 
+@pytest.mark.slow
 def test_g64_world():
     """G=64 (2048^3) support: two-word L0 columns + slot-based hit pack.
     The scene is hand-built (a dense 2048^3 voxel grid is infeasible on

@@ -8,6 +8,7 @@ from svo_raytracer_tpu.core import build_jax, build_np
 from svo_raytracer_tpu.models import heightmap, procgen, world
 from svo_raytracer_tpu.ops import noise
 from test_octree_build import reconstruct_voxels
+import pytest
 
 
 def test_cnoise_properties():
@@ -129,6 +130,7 @@ def test_chunk_border_clipping_matches_oracle():
     assert ref.n_nodes > 8
 
 
+@pytest.mark.slow
 def test_build_world_sharded_matches_serial():
     """Sharded chunk builds (tiles mesh) must splice to the IDENTICAL
     node table as the serial build — same chunk trees, same DFS order."""

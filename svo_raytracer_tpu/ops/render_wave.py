@@ -129,6 +129,8 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
     slack = 1 if camera is not None else 2
     key = _sched_key(wscene, tag, o.shape[0])
     cached = _SCHED.get(key) if use_static else None
+    if camera is not None:
+        kw = dict(kw, cam_block=True)
     if cached is not None:
         sched, slack = cached
         res, n_left = wavefront.intersect_wavefront(
@@ -150,14 +152,53 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
     return res
 
 
+BLK = 32
+
+
+def _frame_B(width, height):
+    """Ray-array length of a block-major frame (32-padded height)."""
+    return width * (-(-height // BLK) * BLK)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def _frame_rays(cam5, width, height):
-    dirs_un = shade.pixel_dirs_device(cam5, width, height)
+    """Frame rays in BLOCK-MAJOR order: index i walks 32x32-pixel
+    blocks (row-major blocks, row-major pixels within a block), so each
+    (8,128) kernel tile covers one compact pixel block instead of half
+    an image row — the sort-free local round's candidate tables then
+    actually cover their tile's rays.  All arrays have length
+    _frame_B(width, height); pad rows (py >= height) trace harmlessly
+    and are cropped by _unblock.  Direction math matches
+    shade.pixel_dirs_rows / the camera-mode kernel op-for-op."""
+    assert width % BLK == 0, width
+    nbx = width // BLK
+    nby = -(-height // BLK)
+    shp = (nby, nbx, BLK, BLK)
+    by = jnp.arange(nby, dtype=jnp.int32)[:, None, None, None]
+    bx = jnp.arange(nbx, dtype=jnp.int32)[None, :, None, None]
+    ly = jnp.arange(BLK, dtype=jnp.int32)[None, None, :, None]
+    lx = jnp.arange(BLK, dtype=jnp.int32)[None, None, None, :]
+    px = jnp.broadcast_to(bx * BLK + lx, shp).reshape(-1).astype(f32)
+    py = jnp.broadcast_to(by * BLK + ly, shp).reshape(-1).astype(f32)
+    u = (px + f32(0.5)) / f32(width)
+    v = (py + f32(0.5)) / f32(height)
+    l1, l2, r1, r2 = cam5[1], cam5[2], cam5[3], cam5[4]
+    left = l1[None] + (l2 - l1)[None] * v[:, None]
+    right = r1[None] + (r2 - r1)[None] * v[:, None]
+    dirs_un = left + (right - left) * u[:, None]
     dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
     origins = jnp.broadcast_to(cam5[0], dirs.shape)
-    px = jnp.tile(jnp.arange(width, dtype=f32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=f32), width)
     return origins, dirs, px, py
+
+
+def _unblock(a, width, height):
+    """Block-major flat array -> (height, width, ...) image (a pure
+    reshape/transpose — NOT a gather — so it costs memory bandwidth)."""
+    nbx = width // BLK
+    nby = a.shape[0] // (width * BLK)
+    x = a.reshape(nby, nbx, BLK, BLK, *a.shape[1:])
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(nby * BLK, width, *a.shape[1:])[:height]
 
 
 @functools.partial(jax.jit, static_argnames=("first", "mirror_values"))
@@ -254,7 +295,7 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
     analog once the schedules are known.  Returns (col, depth, iters,
     n_lefts) — n_lefts[i] > 0 means segment i's schedule went stale."""
     inner_cap, l0_cap = wavefront._resolve_caps(G)
-    B = width * height
+    B = _frame_B(width, height)
     origins, dirs, px, py = _frame_rays(cam5, width, height)
     cam = wavefront.cam16(cam5)
     ones = jnp.ones(B, bool)
@@ -270,7 +311,7 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
             extra=extra, serve=serve, serve_width=serve_width,
             serve_local=serve_local, cloop=wavefront.DEFAULT_CLOOP)
 
-    cdims = (width, height, ws)
+    cdims = (width, height, ws, width // BLK)
     n_lefts = []
     if render_mode == 0:
         accum, mask, depth, iters_out, active, r = _gi_init(
@@ -299,8 +340,8 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
         n_lefts.append(nl)
         col, depth, it = (_heat_post(res) if render_mode == 1
                           else _norm_post(res))
-    return (col.reshape(height, width, 3), depth.reshape(height, width),
-            it.reshape(height, width), jnp.stack(n_lefts))
+    return (_unblock(col, width, height), _unblock(depth, width, height),
+            _unblock(it, width, height), jnp.stack(n_lefts))
 
 
 def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
@@ -333,7 +374,7 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
 
     # fused path: every segment's schedule known -> ONE dispatch per frame
     tags = _mode_tags(render_mode, gi_bounces)
-    B = width * height
+    B = _frame_B(width, height)
     keys = [_sched_key(wscene, t, B) for t in tags]
     if use_static and all(k in _SCHED for k in keys) \
             and (render_mode != 0 or rng_mode == "glsl"):
@@ -404,5 +445,5 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
     else:
         raise ValueError(f"unknown render mode {render_mode}")
 
-    return (col.reshape(height, width, 3), depth.reshape(height, width),
-            it.reshape(height, width))
+    return (_unblock(col, width, height), _unblock(depth, width, height),
+            _unblock(it, width, height))

@@ -683,7 +683,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     tslot_ref = args.pop(0)
     tcell_ref = args.pop(0)
     if cam_dims is not None:
-        W, H, ws_world = cam_dims
+        W, H, ws_world = cam_dims[:3]
         cam_ref = args.pop(0)
     # SMEM cell->slot map: raw i32 words for G<=32 (128 KB); two
     # 16-bit slots per word for G>32 (512 KB at G=64 — raw would be
@@ -709,6 +709,9 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     else:
         key_ref, t_ref, pack_ref, it_ref, rid_ref = args[:5]
         keyo_ref, to_ref, packo_ref, ito_ref = args[5:]
+
+    if cam_dims is not None:
+        NBX = cam_dims[3] if len(cam_dims) > 3 else 0
 
     k = pl.program_id(0)
     key0 = key_ref[:]
@@ -739,10 +742,23 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         else:
             # per-lane primary ray from rid (matches shade.pixel_dirs_rows
-            # + render_wave._frame_rays + _init_state exactly, op-for-op)
+            # + render_wave._frame_rays + _init_state exactly, op-for-op).
+            # NBX>0: rid indexes 32x32-pixel BLOCKS (render_wave block-
+            # major frames — a kernel tile then covers one compact pixel
+            # block instead of half an image row, so the sort-free local
+            # round's candidate tables actually cover its rays)
             rid = rid_ref[:]
-            pyi = rid // W
-            pxi = rid - pyi * W
+            if NBX:
+                bi = rid // 1024
+                off = rid - bi * 1024
+                by = bi // NBX
+                bx = bi - by * NBX
+                ly = off // 32
+                pyi = by * 32 + ly
+                pxi = bx * 32 + (off - ly * 32)
+            else:
+                pyi = rid // W
+                pxi = rid - pyi * W
             u = (pxi.astype(f32) + f32(0.5)) / f32(W)
             v = (pyi.astype(f32) + f32(0.5)) / f32(H)
             c = [cam_ref[j] for j in range(15)]
@@ -833,22 +849,36 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             pz = oz + tw * dzc
             lx, ly, lz = px - bxv, py - byv, pz - bzv
 
+            # Per-candidate presence scalars gate each table's fetch with
+            # lax.cond: a coherent tile whose lanes sit in 1-2 candidate
+            # cells pays 1-2 gathers per probe instead of KMAX (measured
+            # .tpu_jobs/120: the ungated merge made primary rounds ~2x
+            # slower than v3's sequential DDAs despite better coverage).
+            pres = [jnp.any(keyw == cand[j][0]) for j in range(len(cand))]
+
             def probe_coarse(cx, cy, cz):
                 c = (cx * 16 + cy) * 16 + cz
                 w = c >> 5
-                word = jnp.take_along_axis(cand[0][3], w, axis=1)
-                for j in range(1, len(cand)):
-                    word = jnp.where(
-                        ci == j, jnp.take_along_axis(cand[j][3], w, axis=1),
-                        word)
+                word = jnp.zeros_like(c)
+                for j in range(len(cand)):
+                    word = jax.lax.cond(
+                        pres[j],
+                        lambda wd, w=w, j=j: jnp.where(
+                            ci == j,
+                            jnp.take_along_axis(cand[j][3], w, axis=1), wd),
+                        lambda wd: wd, word)
                 return ((word >> (c & 31)) & 1) != 0
 
             def probe_byte(cx, cy, cz):
                 c = (cx * 16 + cy) * 16 + cz
                 w = c >> 2
-                word = _fetch(cand[0][2], w)
-                for j in range(1, len(cand)):
-                    word = jnp.where(ci == j, _fetch(cand[j][2], w), word)
+                word = jnp.zeros_like(c)
+                for j in range(len(cand)):
+                    word = jax.lax.cond(
+                        pres[j],
+                        lambda wd, w=w, j=j: jnp.where(
+                            ci == j, _fetch(cand[j][2], w), wd),
+                        lambda wd: wd, word)
                 return (word >> ((c & 3) * 8)) & 0xFF
 
             hit1, fx, fy, fz, t1, _ins1, st1 = _dda_cr(
@@ -1284,9 +1314,19 @@ def _merge_candidates(present, marched, brick_slot):
 
 def _cam_rays(rid, cam, cam_dims):
     """Vectorized mirror of the kernel's per-lane camera derivation."""
-    W, H, ws_world = cam_dims
-    pyi = rid // W
-    pxi = rid - pyi * W
+    W, H, ws_world = cam_dims[:3]
+    NBX = cam_dims[3] if len(cam_dims) > 3 else 0
+    if NBX:
+        bi = rid // 1024
+        off = rid - bi * 1024
+        by = bi // NBX
+        bx = bi - by * NBX
+        ly = off // 32
+        pyi = by * 32 + ly
+        pxi = bx * 32 + (off - ly * 32)
+    else:
+        pyi = rid // W
+        pxi = rid - pyi * W
     u = ((pxi.astype(f32) + f32(0.5)) / f32(W))[:, None]
     v = ((pyi.astype(f32) + f32(0.5)) / f32(H))[:, None]
     c = cam[:15].reshape(5, 3)
@@ -1579,7 +1619,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         defer_sync=True, profile=None, camera=None,
                         schedule=None, schedule_slack=1, extra=None,
                         sc_skip=True, serve=None, serve_width=None,
-                        serve_local=True, serve_bulk=0, cloop=None):
+                        serve_local=True, serve_bulk=0, cloop=None,
+                        cam_block=False):
     """Trace (B,3) rays against a WaveScene; returns a HitResult.
 
     Signature-compatible with brick_trace.intersect_bricks
@@ -1634,10 +1675,17 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     cam_dims = None
     if camera is not None:
         cam5, W, H = camera
-        assert W * H == B, (W, H, B)
         assert active is None, "camera mode traces every pixel"
         cam = cam16(cam5)
-        cam_dims = (W, H, ws)
+        if cam_block:
+            # block-major frame (render_wave._frame_rays): rid indexes
+            # 32x32-pixel blocks; B covers the 32-padded height
+            Hp = -(-H // 32) * 32
+            assert W % 32 == 0 and W * Hp == B, (W, H, B)
+            cam_dims = (W, H, ws, W // 32)
+        else:
+            assert W * H == B, (W, H, B)
+            cam_dims = (W, H, ws)
 
     if active is None:
         active = jnp.ones(B, bool)

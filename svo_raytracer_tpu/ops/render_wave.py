@@ -124,9 +124,12 @@ last_residue: dict = {}
 def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
             **kw):
     # camera-mode segments re-trace identical rays every frame (the
-    # schedule is exact); bounce/shadow rays vary with the frame RNG, so
-    # record those with 2x compaction slack, escalating on stale replays
-    slack = 1 if camera is not None else 2
+    # schedule is exact).  Bounce/shadow rays vary with the frame RNG,
+    # but the final replay round drains in-kernel (serve loop), so
+    # slack=1 is safe there too — slack=2 kept mid-ladder sorts at full
+    # size for ~4 extra rounds (job 110 profile).  Stale replays
+    # (n_left > tol) still fall back and re-record with escalated slack.
+    slack = 1
     key = _sched_key(wscene, tag, o.shape[0])
     cached = _SCHED.get(key) if use_static else None
     if camera is not None:

@@ -520,7 +520,7 @@ def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
         def _refine(ops):
             occ_m_i, t_in = ops
             occ_m = occ_m_i != 0
-            byte = probe_byte(ccx, ccy, ccz)
+            byte = probe_byte(ccx, ccy, ccz, occ_m)
             qrx = px + (t_in + f32(1e-4) * cell) * dxc
             qry = py + (t_in + f32(1e-4) * cell) * dyc
             qrz = pz + (t_in + f32(1e-4) * cell) * dzc
@@ -803,7 +803,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             word = _fetch(l0c_rows, c >> 5)
             return ((word >> (c & 31)) & 1) != 0
 
-        def l0_probe_byte(cx, cy, cz):
+        def l0_probe_byte(cx, cy, cz, mask):
             c = (cx * HH + cy) * HH + cz
             word = _fetch(l0b_rows, c >> 2)
             return (word >> ((c & 3) * 8)) & 0xFF
@@ -869,13 +869,17 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                         lambda wd: wd, word)
                 return ((word >> (c & 31)) & 1) != 0
 
-            def probe_byte(cx, cy, cz):
+            def probe_byte(cx, cy, cz, mask):
+                # gate each candidate's 8-row fetch on "any lane of THIS
+                # candidate is refining right now" — on incoherent tiles
+                # every candidate is present, but per refine step only
+                # 1-3 candidates hold lanes at an occupied coarse cell
                 c = (cx * 16 + cy) * 16 + cz
                 w = c >> 2
                 word = jnp.zeros_like(c)
                 for j in range(len(cand)):
                     word = jax.lax.cond(
-                        pres[j],
+                        jnp.any(mask & (ci == j)),
                         lambda wd, w=w, j=j: jnp.where(
                             ci == j, _fetch(cand[j][2], w), wd),
                         lambda wd: wd, word)

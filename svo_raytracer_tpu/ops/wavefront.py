@@ -870,16 +870,19 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                 return ((word >> (c & 31)) & 1) != 0
 
             def probe_byte(cx, cy, cz, mask):
-                # gate each candidate's 8-row fetch on "any lane of THIS
-                # candidate is refining right now" — on incoherent tiles
-                # every candidate is present, but per refine step only
-                # 1-3 candidates hold lanes at an occupied coarse cell
+                # gate each candidate's 8-row fetch on the CROSSING-level
+                # presence scalar (loop-invariant — lives in an sreg).
+                # Gating on the per-step refine mask instead was ~35%
+                # SLOWER on gi (job 125 vs 120): each jnp.any(mask&...)
+                # is a vector->scalar reduction per refine call, and 8+
+                # of those per DDA step stall the Mosaic pipeline.
+                del mask
                 c = (cx * 16 + cy) * 16 + cz
                 w = c >> 2
                 word = jnp.zeros_like(c)
                 for j in range(len(cand)):
                     word = jax.lax.cond(
-                        jnp.any(mask & (ci == j)),
+                        pres[j],
                         lambda wd, w=w, j=j: jnp.where(
                             ci == j, _fetch(cand[j][2], w), wd),
                         lambda wd: wd, word)

@@ -133,7 +133,7 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
     key = _sched_key(wscene, tag, o.shape[0])
     cached = _SCHED.get(key) if use_static else None
     if camera is not None:
-        kw = dict(kw, cam_block=True)
+        kw = dict(kw, cam_block=_use_block(camera[1]))
     if cached is not None:
         sched, slack = cached
         res, n_left = wavefront.intersect_wavefront(
@@ -158,8 +158,16 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
 BLK = 32
 
 
+def _use_block(width):
+    """Block-major order needs whole 32-pixel columns; odd widths (tiny
+    viewer/test frames) fall back to row-major."""
+    return width % BLK == 0
+
+
 def _frame_B(width, height):
-    """Ray-array length of a block-major frame (32-padded height)."""
+    """Ray-array length of a frame (32-padded height in block mode)."""
+    if not _use_block(width):
+        return width * height
     return width * (-(-height // BLK) * BLK)
 
 
@@ -173,7 +181,13 @@ def _frame_rays(cam5, width, height):
     _frame_B(width, height); pad rows (py >= height) trace harmlessly
     and are cropped by _unblock.  Direction math matches
     shade.pixel_dirs_rows / the camera-mode kernel op-for-op."""
-    assert width % BLK == 0, width
+    if not _use_block(width):
+        dirs_un = shade.pixel_dirs_device(cam5, width, height)
+        dirs = dirs_un / jnp.linalg.norm(dirs_un, axis=-1, keepdims=True)
+        origins = jnp.broadcast_to(cam5[0], dirs.shape)
+        px = jnp.tile(jnp.arange(width, dtype=f32), height)
+        py = jnp.repeat(jnp.arange(height, dtype=f32), width)
+        return origins, dirs, px, py
     nbx = width // BLK
     nby = -(-height // BLK)
     shp = (nby, nbx, BLK, BLK)
@@ -197,6 +211,8 @@ def _frame_rays(cam5, width, height):
 def _unblock(a, width, height):
     """Block-major flat array -> (height, width, ...) image (a pure
     reshape/transpose — NOT a gather — so it costs memory bandwidth)."""
+    if not _use_block(width):
+        return a.reshape(height, width, *a.shape[1:])
     nbx = width // BLK
     nby = a.shape[0] // (width * BLK)
     x = a.reshape(nby, nbx, BLK, BLK, *a.shape[1:])
@@ -314,7 +330,8 @@ def _frame_static(cam5, warrays, frame_number, width, height, render_mode,
             extra=extra, serve=serve, serve_width=serve_width,
             serve_local=serve_local, cloop=wavefront.DEFAULT_CLOOP)
 
-    cdims = (width, height, ws, width // BLK)
+    cdims = (width, height, ws,
+             width // BLK if _use_block(width) else 0)
     n_lefts = []
     if render_mode == 0:
         accum, mask, depth, iters_out, active, r = _gi_init(

@@ -137,10 +137,11 @@ ITER_CAP = np.int32(4000)
 # 1774-voxel world diagonal is 0.18 voxel.  brick_trace/brick_dda use
 # the same value (oracle lock-step).
 _DIR_EPS = np.float32(1e-4)
-# Gate the _dda_cr refine block behind lax.cond(any lane on an occupied
-# coarse cell): iterations through empty space skip the byte fetch +
-# sub-DDA entirely.  Module-level so on-chip jobs can A/B it (reload the
-# module per setting — jit caches key on shapes, not module globals).
+# Default for _dda_cr's gate_refine=None (used only by direct callers /
+# A-B jobs): gate the refine block behind lax.cond(any lane on an
+# occupied coarse cell).  The kernel passes explicit per-phase values —
+# ungated for the cheap phase-1 byte fetch, gated for the G>32 L0 fetch
+# (.tpu_jobs/150; PERF_NOTES r4).
 GATE_REFINE = True
 # Fill unused tile-candidate slots with cells marched along the tile's
 # mean ray (_predicted_tables).  Without it a coherent tile exposes 1-2
@@ -888,10 +889,14 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                         lambda wd: wd, word)
                 return (word >> ((c & 3) * 8)) & 0xFF
 
+            # phase-1 refine runs UNGATED: its byte fetch is cheap
+            # (presence-gated 8-row composites) and the gate's per-step
+            # any(occ) vector->scalar reduction measured 4% slower on
+            # the gi segment (.tpu_jobs/150)
             hit1, fx, fy, fz, t1, _ins1, st1 = _dda_cr(
                 lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
                 32, f32(1.0), probe_coarse, probe_byte, inner_cap,
-                m_brick.astype(i32), early_exit)
+                m_brick.astype(i32), early_exit, gate_refine=False)
             hit1b = (hit1 != 0) & m_brick
 
             # ---- phase 2: L0 march to the next occupied brick ------------
@@ -900,11 +905,15 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             p2y = oy + t2_0 * dyc
             p2z = oz + t2_0 * dzc
             act2 = (m_brick & ~hit1b) | m_init
+            # phase-2 refine stays cond-gated at G>32, where the full
+            # L0 byte fetch is a 64-row composite — paying it per STEP
+            # instead of per stop is the 2048^3 cliff (PERF_NOTES r4)
             hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda_cr(
                 p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
                 G, f32(32.0), l0_probe_coarse, l0_probe_byte, l0_cap,
                 act2.astype(i32), early_exit,
-                sc_probe=l0_sc_probe if (sc_skip and G >= 8) else None)
+                sc_probe=l0_sc_probe if (sc_skip and G >= 8) else None,
+                gate_refine=(G > 32))
             hit2b = hit2 != 0
             ins2b = ins2 != 0
             c2x = jnp.clip(b2x, 0, G - 1)

@@ -850,53 +850,54 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             pz = oz + tw * dzc
             lx, ly, lz = px - bxv, py - byv, pz - bzv
 
-            # Per-candidate presence scalars gate each table's fetch with
-            # lax.cond: a coherent tile whose lanes sit in 1-2 candidate
-            # cells pays 1-2 gathers per probe instead of KMAX (measured
-            # .tpu_jobs/120: the ungated merge made primary rounds ~2x
-            # slower than v3's sequential DDAs despite better coverage).
+            # Phase 1 runs ONE coarse-refine DDA PER CANDIDATE, each
+            # whole DDA cond-gated on the crossing-level presence scalar
+            # (loop-invariant sreg).  A fully-merged DDA with per-lane
+            # candidate selects was tried first and LOST (~2x on
+            # coherent primary rounds, .tpu_jobs/120-165): per-step
+            # per-candidate conds + the merged refine cost more than the
+            # idle-lane waste they avoid, while sequential single-table
+            # DDAs keep probes at 1 gather (coarse) / 1 composite fetch
+            # (refine) with zero per-step branching.  Incoherent tiles
+            # pay the sequential sweep exactly like v3 — coverage, not
+            # lane merging, is what v4 actually improved (prediction).
             pres = [jnp.any(keyw == cand[j][0]) for j in range(len(cand))]
 
-            def probe_coarse(cx, cy, cz):
-                c = (cx * 16 + cy) * 16 + cz
-                w = c >> 5
-                word = jnp.zeros_like(c)
-                for j in range(len(cand)):
-                    word = jax.lax.cond(
-                        pres[j],
-                        lambda wd, w=w, j=j: jnp.where(
-                            ci == j,
-                            jnp.take_along_axis(cand[j][3], w, axis=1), wd),
-                        lambda wd: wd, word)
-                return ((word >> (c & 31)) & 1) != 0
+            hit1 = zi
+            fx, fy, fz = zi, zi, zi
+            t1 = zf
+            st1 = zi
+            for j in range(len(cand)):
+                mj = keyw == cand[j][0]
 
-            def probe_byte(cx, cy, cz, mask):
-                # gate each candidate's 8-row fetch on the CROSSING-level
-                # presence scalar (loop-invariant — lives in an sreg).
-                # Gating on the per-step refine mask instead was ~35%
-                # SLOWER on gi (job 125 vs 120): each jnp.any(mask&...)
-                # is a vector->scalar reduction per refine call, and 8+
-                # of those per DDA step stall the Mosaic pipeline.
-                del mask
-                c = (cx * 16 + cy) * 16 + cz
-                w = c >> 2
-                word = jnp.zeros_like(c)
-                for j in range(len(cand)):
-                    word = jax.lax.cond(
-                        pres[j],
-                        lambda wd, w=w, j=j: jnp.where(
-                            ci == j, _fetch(cand[j][2], w), wd),
-                        lambda wd: wd, word)
-                return (word >> ((c & 3) * 8)) & 0xFF
+                def probe_coarse_j(cx, cy, cz, rows=cand[j][3]):
+                    c = (cx * 16 + cy) * 16 + cz
+                    word = jnp.take_along_axis(rows, c >> 5, axis=1)
+                    return ((word >> (c & 31)) & 1) != 0
 
-            # phase-1 refine runs UNGATED: its byte fetch is cheap
-            # (presence-gated 8-row composites) and the gate's per-step
-            # any(occ) vector->scalar reduction measured 4% slower on
-            # the gi segment (.tpu_jobs/150)
-            hit1, fx, fy, fz, t1, _ins1, st1 = _dda_cr(
-                lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-                32, f32(1.0), probe_coarse, probe_byte, inner_cap,
-                m_brick.astype(i32), early_exit, gate_refine=False)
+                def probe_byte_j(cx, cy, cz, mask, rows=cand[j][2]):
+                    del mask
+                    c = (cx * 16 + cy) * 16 + cz
+                    word = _fetch(rows, c >> 2)
+                    return (word >> ((c & 3) * 8)) & 0xFF
+
+                def run_j(_, mj=mj, pc=probe_coarse_j, pb=probe_byte_j):
+                    return _dda_cr(
+                        lx, ly, lz, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                        32, f32(1.0), pc, pb, inner_cap, mj.astype(i32),
+                        early_exit, gate_refine=False)
+
+                def skip_j(_):
+                    return (zi, zi, zi, zi, zf, zi, zi)
+
+                h, x, y, z, tt, _ins, st = jax.lax.cond(
+                    pres[j], run_j, skip_j, 0)
+                hit1 = jnp.where(mj, h, hit1)
+                fx = jnp.where(mj, x, fx)
+                fy = jnp.where(mj, y, fy)
+                fz = jnp.where(mj, z, fz)
+                t1 = jnp.where(mj, tt, t1)
+                st1 = st1 + jnp.where(mj, st, 0)
             hit1b = (hit1 != 0) & m_brick
 
             # ---- phase 2: L0 march to the next occupied brick ------------

@@ -825,22 +825,17 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             ray state.
 
             v4: ONE merged coarse-refine DDA advances every lane whose
-            cell is among the candidates simultaneously — the per-lane
-            candidate index selects between the resident tables at each
-            probe, replacing v3's KMAX sequential masked DDAs whose lane
-            utilization collapsed to ~run-length/1024 on incoherent
-            (bounce) tiles."""
+            cell is among the candidates; each candidate's DDA is
+            cond-gated on its presence scalar (see phase-1 comment)."""
             m_init = keyw == KEY_INIT
             m_brick = (keyw == cand[0][0])
-            ci = jnp.zeros(keyw.shape, i32)
             slot_v = jnp.full(keyw.shape, cand[0][1], i32)
             for j in range(1, len(cand)):
                 mj = keyw == cand[j][0]
                 m_brick = m_brick | mj
-                ci = jnp.where(mj, j, ci)
                 slot_v = jnp.where(mj, cand[j][1], slot_v)
 
-            # ---- phase 1: merged coarse-refine DDA in each lane's brick
+            # ---- phase 1: per-candidate coarse-refine DDAs ------------
             kc = jnp.clip(keyw, 0, G * G * G - 1)
             bxv = (kc // (G * G)).astype(f32) * 32.0
             byv = ((kc // G) % G).astype(f32) * 32.0

@@ -21,6 +21,10 @@ def out(**kw):
     print(json.dumps(kw), flush=True)
 
 
+sched_cache0 = os.path.join(REPO, ".bench_cache", "wave_schedules.json")
+n0 = render_wave.load_schedules(sched_cache0)
+out(kind="scheds_preloaded", n=n0)
+
 tree, _ = bench.build_scene(1024, 512)
 b0 = bench.build_brick_scene(tree, 1024)
 W, H = 1920, 1080

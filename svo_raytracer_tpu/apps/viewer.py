@@ -46,8 +46,9 @@ class Viewer(Application):
         self.speed = 0.02
         if engine == "auto":
             # the wavefront engine covers 32^3..2048^3 (G<=64; the G>32
-            # slot lookup DMAs from HBM, ops/wavefront._vote_slot —
-            # proven on-chip by the 2048^3 NZ renders, .tpu_jobs/074)
+            # serve-loop slot lookup decodes the packed16 SMEM map,
+            # ops/wavefront._slot_of — proven on-chip by the 2048^3 NZ
+            # renders, .tpu_jobs/092, 130)
             engine = ("wavefront" if tree.world_size >= 32
                       and tree.world_size <= 2048 else "esvo")
         self.engine = engine

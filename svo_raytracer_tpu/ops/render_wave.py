@@ -59,7 +59,9 @@ _SCHED: dict = {}
 # rule a pre-ladder "(0,0,0)" entry drains the FULL frame in the serve
 # loop (~6.4 s measured, .tpu_jobs/084) while reporting n_left=0, so it
 # would never re-record.  Version-mismatched files are ignored wholesale.
-SCHED_VERSION = "v4-cr-cloop-1"
+SCHED_VERSION = ("v5-cr-cloop-1-K%d-c%d-p%d"
+                 % (wavefront.KMAX, wavefront.DEFAULT_CLOOP,
+                    int(wavefront.PREDICT)))
 
 
 def _sched_key(wscene, tag, B):
@@ -150,6 +152,10 @@ def _traced(wscene, o, d, tag, active=None, camera=None, use_static=True,
     res = wavefront.intersect_wavefront(
         wscene, o, d, active=active, camera=camera, profile=prof,
         schedule_slack=slack, **kw)
+    # the dynamic loop drains (or stall-retires) everything it traces;
+    # there is no replay residue to report — drop any stale entry so
+    # bench.py's n_left row can't echo a previous frame's count (ADVICE)
+    last_residue.pop(tag, None)
     if use_static:
         _SCHED[key] = (prof["schedule"], slack)
     return res
@@ -198,7 +204,9 @@ def _frame_rays(cam5, width, height):
     px = jnp.broadcast_to(bx * BLK + lx, shp).reshape(-1).astype(f32)
     py = jnp.broadcast_to(by * BLK + ly, shp).reshape(-1).astype(f32)
     u = (px + f32(0.5)) / f32(width)
-    v = (py + f32(0.5)) / f32(height)
+    # pad rows (py >= height) reuse the last real row's direction —
+    # mirrors the kernel's pyi clamp op-for-op (ADVICE r4)
+    v = (jnp.minimum(py, f32(height - 1)) + f32(0.5)) / f32(height)
     l1, l2, r1, r2 = cam5[1], cam5[2], cam5[3], cam5[4]
     left = l1[None] + (l2 - l1)[None] * v[:, None]
     right = r1[None] + (r2 - r1)[None] * v[:, None]

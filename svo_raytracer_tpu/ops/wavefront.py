@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -74,7 +75,9 @@ TILE = 8 * LANES            # rays per grid step
 # sorted runs span more than 4 cells.  Measured r3 (087, 1080p gi-1 on
 # the 1024^3 bench scene): KMAX 4 -> 8 with the DRAIN_TILES tail drain
 # took the segment replay 6404 -> 534 ms and primaries 282 -> 171 ms.
-KMAX = 8
+# Env-overridable for per-process A/B sweeps (NEVER change it mid-
+# process: shape-keyed jit caches would serve stale tables — CLAUDE.md).
+KMAX = int(os.environ.get("SVO_WAVE_KMAX", "8"))
 KEY_DONE = np.int32(1 << 30)
 KEY_INIT = np.int32(-2)     # ray not yet L0-marched (round 0 / stuck)
 PACK_PEND = np.int32(-2)    # ray alive, no hit record yet
@@ -88,7 +91,7 @@ DEFAULT_EXTRA = 0   # in-kernel dynamic crossings per round (tuned on-chip)
 # round, which made the ladder length track the per-ray crossing count
 # (10-16 rounds, each paying a full-size multi-operand sort).  The bound
 # only backstops pathological ping-ponging; ITER_CAP retires runaways.
-DEFAULT_CLOOP = 64
+DEFAULT_CLOOP = int(os.environ.get("SVO_WAVE_CLOOP", "64"))
 # In-kernel serve loop bound (crossings served per tile per round).  The
 # serve loop (a lax.while_loop, NOT an unroll — compile time is flat in
 # this number) repeatedly votes the tile's min pending brick cell, DMAs
@@ -122,7 +125,7 @@ DEFAULT_SERVE_WIDTH = 4
 # 64 tiles measured best at 1080p (087: gi replay 534 ms vs 594 at 256
 # tiles; 088: serve_bulk>0 in bulk rounds LOSES — gi 882 ms, prim
 # 206 ms — serve iterations at large active sizes are compute-bound).
-DRAIN_TILES = 64
+DRAIN_TILES = int(os.environ.get("SVO_WAVE_DRAIN_TILES", "64"))
 # Per-ray DDA-step kill switch, the analog of the reference's
 # MAX_RAYCAST_ITERATIONS=1500 runaway guard (svotrace.comp:41): a ray
 # past the cap retires as a miss.  Legit 1024^3 rays measure ~170 steps
@@ -148,7 +151,7 @@ GATE_REFINE = True
 # distinct cells and the candidate-coverage loop degenerates to one
 # crossing per sorted round.  Module-level for on-chip A/B (reload the
 # module per setting).
-PREDICT = True
+PREDICT = os.environ.get("SVO_WAVE_PREDICT", "1") != "0"
 
 # state tuple layouts (key first; (t, pack, it, rid) always last):
 #   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
@@ -760,6 +763,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             else:
                 pyi = rid // W
                 pxi = rid - pyi * W
+            # pad rays (block mode, py >= H) reuse the last real row's
+            # direction: v > 1 extrapolation can normalize to NaN and
+            # spin lanes to ITER_CAP (ADVICE r4)
+            pyi = jnp.minimum(pyi, H - 1)
             u = (pxi.astype(f32) + f32(0.5)) / f32(W)
             v = (pyi.astype(f32) + f32(0.5)) / f32(H)
             c = [cam_ref[j] for j in range(15)]
@@ -1205,10 +1212,8 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
     static-schedule trace."""
-    occ_flat = _cell_occ_flat(l0_occ, G) if PREDICT else None
-    srt, tile_slot, tile_cell, n_act = _sort_stage(state, brick_slot,
-                                                   occ_flat, cam,
-                                                   cam_dims=cam_dims)
+    srt, tile_slot, tile_cell, n_act = _sort_stage(
+        state, brick_slot, cam, cam_dims=cam_dims, G=G, predict=PREDICT)
     for _ in range(halvings):
         T = tile_slot.shape[0]
         T2 = (T + 1) // 2
@@ -1234,27 +1239,11 @@ _round_fused = functools.partial(jax.jit, static_argnames=(
 
 
 # -------------------------------------------------------------------- driver
-def _cell_occ_flat(l0_cat, G):
-    """(G^3,) i32 occupied-cell flags decoded from the concatenated L0
-    coarse-refine rows (kept derived rather than stored so the warrays
-    tuple stays 8 arrays everywhere)."""
-    h = max(G // 2, 1)
-    c = jnp.arange(G * G * G, dtype=i32)
-    x, y, z = c // (G * G), (c // G) % G, c % G
-    if G == 1:
-        return (l0_cat.reshape(-1)[0] & 1).reshape(1)
-    cc = ((x >> 1) * h + (y >> 1)) * h + (z >> 1)
-    word = l0_cat.reshape(-1)[cc >> 2]
-    byte = (word >> ((cc & 3) * 8)) & 0xFF
-    bit = ((x & 1) << 2) | ((y & 1) << 1) | (z & 1)
-    return (byte >> bit) & 1
-
-
-def _march_candidates(mp, md, occ_flat, G, K, valid):
+def _march_candidates(mp, md, cand_flat, G, K, valid):
     """March each tile's mean ray (mp (T,3) voxel units, md (T,3)) over
-    the G^3 occupied-cell grid and collect the first K occupied cells.
-    Returns (T, K) i32 cells, -1 padded.  ~T-wide vectors for <=3G+4
-    steps — negligible next to the round's 2M-ray sort."""
+    the G^3 candidate-cell grid (mixed cells) and collect the first K
+    flagged cells.  Returns (T, K) i32 cells, -1 padded.  ~T-wide
+    vectors for <=3G+4 steps — negligible next to the round's sort."""
     T = mp.shape[0]
     eps = _DIR_EPS
     d = jnp.where(jnp.abs(md) < eps, jnp.where(md >= 0, eps, -eps), md)
@@ -1283,7 +1272,7 @@ def _march_candidates(mp, md, occ_flat, G, K, valid):
                   & (iz >= 0) & (iz < G)) & valid
         cell = (jnp.clip(ix, 0, G - 1) * G + jnp.clip(iy, 0, G - 1)) * G \
             + jnp.clip(iz, 0, G - 1)
-        occ = (occ_flat[cell] != 0) & inside
+        occ = (cand_flat[cell] != 0) & inside
         put = occ & (cnt < K)
         sel = put[:, None] & (jnp.arange(K, dtype=i32)[None, :]
                               == cnt[:, None])
@@ -1339,6 +1328,7 @@ def _cam_rays(rid, cam, cam_dims):
     else:
         pyi = rid // W
         pxi = rid - pyi * W
+    pyi = jnp.minimum(pyi, H - 1)  # pad-ray clamp, kernel lock-step
     u = ((pxi.astype(f32) + f32(0.5)) / f32(W))[:, None]
     v = ((pyi.astype(f32) + f32(0.5)) / f32(H))[:, None]
     c = cam[:15].reshape(5, 3)
@@ -1367,29 +1357,35 @@ def _tile_means(key, pos, dirs):
     return mp, md, jnp.sum(w, axis=1) > 0
 
 
-def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, occ_flat):
+def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, G):
     """Tile tables = present distinct cells ++ cells marched along the
     tile's mean ray (the v4 candidate-prediction: a tile whose lanes
     share one cell otherwise wastes KMAX-1 candidate slots, capping
-    cloop at ONE crossing per sorted round)."""
+    cloop at ONE crossing per sorted round).
+
+    The march collects MIXED cells only (brick_slot >= 0): pending keys
+    can only ever be mixed cells — uniform-solid bricks retire in-kernel
+    during phase 2 — so a predicted slot spent on a uniform brick is
+    dead weight that shrinks effective cloop coverage (ADVICE r4)."""
     tile_slot, tile_cell, n_act = _distinct_tables(kt_rows, brick_slot)
-    G = round(occ_flat.shape[0] ** (1 / 3))
+    mixed_flat = (brick_slot >= 0).astype(i32)
     mp, md, valid = _tile_means(key_flat, pos, dirs)
-    marched = _march_candidates(mp, md, occ_flat, G, KMAX, valid)
+    marched = _march_candidates(mp, md, mixed_flat, G, KMAX, valid)
     tile_slot, tile_cell = _merge_candidates(tile_cell, marched,
                                              brick_slot)
     return tile_slot, tile_cell, n_act
 
 
-@functools.partial(jax.jit, static_argnames=("cam_dims",))
-def _sort_stage(state, brick_slot, occ_flat=None, cam=None, cam_dims=None):
+@functools.partial(jax.jit, static_argnames=("cam_dims", "G", "predict"))
+def _sort_stage(state, brick_slot, cam=None, cam_dims=None, G=None,
+                predict=False):
     """Sort by key, build tile tables, count actives.  Runs once per
     round at the current (static) size.  Results of finished rays ride
     the sort into the tail and are harvested when compaction slices them
     off (_harvest) — scattering them every round would cost full-size
     random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round)."""
     srt = jax.lax.sort(tuple(state), num_keys=1)
-    if occ_flat is None:
+    if not predict:
         tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
         return srt, tile_slot, tile_cell, n_act
     key = srt[0]
@@ -1401,7 +1397,7 @@ def _sort_stage(state, brick_slot, occ_flat=None, cam=None, cam_dims=None):
         o, dirs = _cam_rays(srt[4], cam, cam_dims)
         pos = o + srt[1][:, None] * dirs
     tile_slot, tile_cell, n_act = _predicted_tables(
-        key.reshape(-1, TILE), key, pos, dirs, brick_slot, occ_flat)
+        key.reshape(-1, TILE), key, pos, dirs, brick_slot, G)
     return srt, tile_slot, tile_cell, n_act
 
 
@@ -1427,18 +1423,18 @@ def _tile_tables(key, brick_slot):
     return _distinct_tables(key.reshape(-1, TILE), brick_slot)
 
 
-@functools.partial(jax.jit, static_argnames=("cam_dims",))
-def _tile_tables_local(key, brick_slot, occ_flat=None, cam=None,
-                       cam_dims=None, state=None):
+@functools.partial(jax.jit, static_argnames=("cam_dims", "G", "predict"))
+def _tile_tables_local(key, brick_slot, cam=None, cam_dims=None,
+                       state=None, G=None, predict=False):
     """Tables for the UNSORTED pixel layout: per-tile sort of the keys
     only (a batched 1024-wide sort, not the multi-operand global sort).
     Exploits primary/bounce-ray coherence — a 32x32-pixel tile's rays
     stop in a handful of bricks — so round 1 skips the full-size
     multi-payload sort; lanes beyond the KMAX candidate cells punt to
-    the sorted rounds.  With ``occ_flat`` the unused candidate slots are
+    the sorted rounds.  With ``predict`` the unused candidate slots are
     filled by the marched prediction (_predicted_tables)."""
     kt = jnp.sort(key.reshape(-1, TILE), axis=1)
-    if occ_flat is None:
+    if not predict:
         return _distinct_tables(kt, brick_slot)
     if cam_dims is None:
         _, ox, oy, oz, dx, dy, dz, t = state[:8]
@@ -1447,7 +1443,7 @@ def _tile_tables_local(key, brick_slot, occ_flat=None, cam=None,
     else:
         o, dirs = _cam_rays(state[4], cam, cam_dims)
         pos = o + state[1][:, None] * dirs
-    return _predicted_tables(kt, key, pos, dirs, brick_slot, occ_flat)
+    return _predicted_tables(kt, key, pos, dirs, brick_slot, G)
 
 
 @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
@@ -1553,6 +1549,13 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
 
 
 def _resolve_caps(G):
+    """(inner_cap, l0_cap) step budgets for the two DDA phases.
+
+    UNITS (v4): both caps — and the steps/it counters behind ITER_CAP
+    and the iteration heatmap — count COARSE (2x2x2-fine-cell)
+    iterations; refine sub-steps are uncounted.  That is ~2x looser per
+    world-unit of distance than v3's fine-step counts (ADVICE r4): keep
+    that in mind when tuning caps against v3-era numbers."""
     return 100, 3 * G + 4
 
 
@@ -1575,8 +1578,6 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
     opack = jnp.full((B + 1,), PACK_MISS, i32)
     ot = jnp.zeros((B + 1,), f32)
     oit = jnp.zeros((B + 1,), i32)
-    occ_flat = _cell_occ_flat(l0_occ, G) if PREDICT else None
-
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
     state = _call_kernel(none_slot, none_slot, l0_occ, l0_mixed, occ_words,
                          state, G, NM, inner_cap, l0_cap, early_exit,
@@ -1585,8 +1586,8 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                          sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc)
     if local_round1:
         tile_slot, tile_cell, _n = _tile_tables_local(
-            state[0], brick_slot, occ_flat, cam, cam_dims=cam_dims,
-            state=state)
+            state[0], brick_slot, cam, cam_dims=cam_dims, state=state,
+            G=G, predict=PREDICT)
         state = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed,
                              occ_words, state, G, NM, inner_cap, l0_cap,
                              early_exit, interpret, cont, cam=cam,
@@ -1746,13 +1747,11 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
 
-    occ_flat = (jax.jit(_cell_occ_flat, static_argnums=1)(
-        wscene.l0_occ, G) if PREDICT else None)
     if local_round1:
         # round 1 without the global sort: pixel-coherent tile tables
         tile_slot, tile_cell, _n = _tile_tables_local(
-            state[0], wscene.brick_slot, occ_flat, cam, cam_dims=cam_dims,
-            state=state)
+            state[0], wscene.brick_slot, cam, cam_dims=cam_dims,
+            state=state, G=G, predict=PREDICT)
         state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,

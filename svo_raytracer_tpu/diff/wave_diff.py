@@ -108,6 +108,8 @@ def khit_chain(wscene_arrays, origins, dirs, K, G, ws, capacity,
     wavefront trace; the serve loop drains each stage in one dispatch)."""
     if serve is None:
         serve = wavefront.DEFAULT_SERVE
+    if G > wavefront.PAGE:
+        serve = 0   # paged L0 has no in-kernel serve (wavefront notes)
     inner_cap, l0_cap = _resolve_caps(G)
     B = origins.shape[0]
     # normalize ONCE and use the unit dirs everywhere below: res.t is

@@ -59,9 +59,9 @@ _SCHED: dict = {}
 # rule a pre-ladder "(0,0,0)" entry drains the FULL frame in the serve
 # loop (~6.4 s measured, .tpu_jobs/084) while reporting n_left=0, so it
 # would never re-record.  Version-mismatched files are ignored wholesale.
-SCHED_VERSION = ("v5-cr-cloop-1-K%d-c%d-p%d"
+SCHED_VERSION = ("v5-cr-cloop-1-K%d-c%d-p%d-o%d"
                  % (wavefront.KMAX, wavefront.DEFAULT_CLOOP,
-                    int(wavefront.PREDICT)))
+                    int(wavefront.PREDICT), int(wavefront.OCT_SORT)))
 
 
 def _sched_key(wscene, tag, B):
@@ -419,7 +419,8 @@ def render_frame_wavefront(wscene, cam5, width, height, render_mode=0,
             interpret=interpret, min_tiles=min_tiles,
             extra=(wavefront.DEFAULT_EXTRA
                    if wscene.grid_size <= 32 else 0),
-            serve=wavefront.DEFAULT_SERVE,
+            serve=(wavefront.DEFAULT_SERVE
+                   if wscene.grid_size <= wavefront.PAGE else 0),
             serve_width=wavefront.DEFAULT_SERVE_WIDTH)
         nl = np.asarray(n_lefts)
         stale = nl > _stale_tol(B)

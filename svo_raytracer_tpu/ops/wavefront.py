@@ -152,6 +152,46 @@ GATE_REFINE = True
 # crossing per sorted round.  Module-level for on-chip A/B (reload the
 # module per setting).
 PREDICT = os.environ.get("SVO_WAVE_PREDICT", "1") != "0"
+# ---- paged L0 (G > 64; worlds > 2048^3) ------------------------------
+# The flat L0 coarse-refine tables stop scaling at G=64: the byte-cell
+# fetch is already a 64-row composite there, and G=128 would need 512
+# rows (the 2048^3-cliff cost class, per REFINE CALL).  Above G=64 the
+# L0 grid is split into PAGES of 64^3 bricks — each page carries exactly
+# the G=64 table structure (64 byte rows + 8 coarse rows) plus its own
+# mixed-byte rows and supercell row, 137 rows = 68 KB per page:
+#
+#   * a tiny resident page-occupancy bit row ((1,128), P^3 <= 64 pages
+#     at 8192^3) lets the in-kernel march jump EMPTY pages analytically;
+#   * per tile, KPAGE candidate page tables arrive via scalar-prefetch
+#     BlockSpecs exactly like the KMAX brick candidates (tile tables
+#     predict pages from present cells + a page-grid march);
+#   * a lane whose page is occupied but not among the tile's candidates
+#     punts (key -> KEY_INIT, position preserved) to the next sorted
+#     round — the same starvation/backstop contract as brick candidates;
+#   * the in-kernel serve loop is disabled (its SMEM cell->slot map
+#     would need G^3 entries, 4+ MB at G=128): paged worlds drain by
+#     ladder + coverage, with the recorded tail rounds as the replay
+#     guard (the pre-serve regime, which the profile already appends).
+#
+# The packed hit record also changes above G=64 (mixed slots can exceed
+# the 15-bit field): mixed hits store the SLOT alone (bit 29 set) and
+# the hit voxel is recomputed from t in _finish exactly like uniform
+# hits at G>32 (same nudge/clip).  Reference scale parity:
+# /root/reference/README.md:7 (8192^3), Octree.java:237-244.
+PAGE = 64
+KPAGE = int(os.environ.get("SVO_WAVE_KPAGE", "4"))
+PAGE_ROWS = 137   # 64 occ-byte ++ 8 occ-coarse ++ 64 mixed-byte ++ 1 sc
+# Direction-octant composite sort keys (G <= 64, non-paged): pending
+# keys become oct(d) << OCT_SHIFT(G) | cell, so the global sort clusters
+# rays by DIRECTION CLASS before cell — a bounce tile then shares a
+# travel direction and the mean-ray candidate prediction actually covers
+# its lanes' paths (with plain cell keys a bounce tile mixes all 8
+# octants and the marched candidates fit nobody).  A/B lever (r5).
+OCT_SORT = os.environ.get("SVO_WAVE_OCT", "0") != "0"
+
+
+def _oct_shift(G):
+    return {1: 0, 2: 3, 4: 6, 8: 9, 16: 12, 32: 15, 64: 18}[G]
 
 # state tuple layouts (key first; (t, pack, it, rid) always last):
 #   explicit: (key, ox, oy, oz, dx, dy, dz, t, pack, it, rid)
@@ -192,6 +232,8 @@ class WaveScene:
     fingerprint: int = 0   # cheap scene-content hash: keys the persisted
                            # schedule cache so two scenes with equal
                            # (world_size, n_mixed) can't swap ladders
+    attr16: bool = False   # attr_comb stored as int16 half-words
+                           # (_encode_attr16) — the 8192^3 memory format
 
 
 def _scene_fingerprint(scene):
@@ -322,22 +364,94 @@ def _l0_super_words(scene):
     return out.view(np.int32).reshape(1, 128)
 
 
-def prepare(scene, capacity: int | None = None) -> WaveScene:
+def _page_tables_np(scene):
+    """((P^3, PAGE_ROWS, 128) page tables, (1,128) page-occupancy row)
+    for a G>64 BrickScene.  Per-page layout (row offsets):
+      [0:64)    occupied-brick byte-cell rows   (_cr_split fine words)
+      [64:72)   occupied-brick coarse-bit rows
+      [72:136)  mixed-brick byte-cell rows      (same c>>2 layout)
+      [136]     supercell row: bit (sx*8+sy)*8+sz = any occupied brick
+                in the 8^3-brick group (512 bits = 16 words)
+    """
+    G = scene.grid_size
+    P = G // PAGE
+    assert G % PAGE == 0 and P * P * P <= 64, (G, P)
+    occ3 = ((np.asarray(scene.brick_slot) >= 0)
+            | ((np.asarray(scene.brick_attr) & 0xFF) != 0)).reshape(G, G, G)
+    mix3 = (np.asarray(scene.brick_slot) >= 0).reshape(G, G, G)
+
+    def pages(v):
+        return (v.reshape(P, PAGE, P, PAGE, P, PAGE)
+                .transpose(0, 2, 4, 1, 3, 5).reshape(P ** 3, PAGE, PAGE,
+                                                     PAGE))
+
+    occp, mixp = pages(occ3), pages(mix3)
+    bw, cw = _cr_split(occp)            # (P^3, 64, 128), (P^3, 8, 128)
+    mbw, _ = _cr_split(mixp)            # (P^3, 64, 128)
+    n = P ** 3
+    sup = occp.reshape(n, 8, 8, 8, 8, 8, 8).any(axis=(2, 4, 6))
+    sup = sup.reshape(n, 512)
+    scw = np.zeros((n, 128), np.uint32)
+    for b in range(512):
+        scw[:, b // 32] |= sup[:, b].astype(np.uint32) << np.uint32(b % 32)
+    tabs = np.concatenate(
+        [bw, cw, mbw, scw.view(np.int32).reshape(n, 1, 128)], axis=1)
+    assert tabs.shape[1] == PAGE_ROWS
+    pocc = occp.reshape(n, -1).any(axis=1)
+    prow = np.zeros(128, np.uint32)
+    for b in range(n):
+        prow[b // 32] |= np.uint32(bool(pocc[b])) << np.uint32(b % 32)
+    return tabs.astype(np.int32), prow.view(np.int32).reshape(1, 128)
+
+
+def _encode_attr16(a32, full_depth):
+    """i32 attr word -> int16 half-word: value(2) | raw(10) << 2 |
+    ddepth(3) << 12, ddepth = log2(ws)-depth (the 8192^3 memory format —
+    VERDICT r4 'half-word attrs').  Air (a32 == 0) encodes to 0.  Lossy
+    vs the i32 word only for (a) materials > 3 (none exist in the
+    shipped scenes) and (b) the subdividable stale-mask normal quirk
+    (raw is a 16-bit leaf mask there; clipped to 10 bits) — neither is
+    reachable from the direct heightmap builder (models/bigworld.py).
+    Decoded back to the i32 layout inside _finish."""
+    a = np.asarray(a32).astype(np.int64)
+    v = a & 3
+    raw = (a >> 8) & 0x3FF
+    depth = (a >> 24) & 0x1F
+    dd = np.clip(full_depth - depth, 0, 7)
+    dd = np.where(a == 0, 0, dd)
+    return (v | (raw << 2) | (dd << 12)).astype(np.uint16).view(np.int16)
+
+
+def prepare(scene, capacity: int | None = None,
+            attr16: bool = False) -> WaveScene:
     """Derive the wavefront tables from a BrickScene (one-time).
 
     Pass the HOST (NumPy) BrickScene, not ``.to_device()`` output: this
     reads the arrays with np.asarray, and device->host through the axon
     tunnel is ~1 MB/s (CLAUDE.md) — the 600 MB attrs would take minutes.
     The returned WaveScene holds device arrays.
+
+    G > 64 worlds (4096^3 / 8192^3) use the PAGED L0 layout (module
+    constants): ``l0_occ`` holds the (1,128) page-occupancy row,
+    ``l0_mixed`` the (P^3 * PAGE_ROWS, 128) page tables, ``l0_sc`` a
+    dummy row.  ``attr16`` stores attrs as int16 half-words
+    (_encode_attr16) — required to fit 8192^3 in HBM.
     """
-    if scene.grid_size > 64:
-        raise ValueError("wavefront L0 grid is limited to 64^3 "
-                         f"(world <= 2048^3); got G={scene.grid_size}")
     G = scene.grid_size
+    paged = G > PAGE
+    if paged and G % PAGE:
+        raise ValueError(f"paged L0 needs G % {PAGE} == 0; got {G}")
+    if G > 256:
+        raise ValueError(f"wavefront L0 grid is limited to 256^3 "
+                         f"(world <= 8192^3); got G={G}")
     if capacity is None:
         capacity = scene.n_mixed + max(64, scene.n_mixed // 8)
     assert capacity >= scene.n_mixed
-    if G > 32:
+    if paged:
+        # mixed hits store the slot alone (bit 29; voxel recomputed
+        # from t in _finish), so only the sort/key range binds
+        assert capacity < (1 << 29)
+    elif G > 32:
         # the packed hit record stores the mixed SLOT in 15 bits (the
         # cell id no longer fits beside widx — module docstring)
         assert capacity < (1 << 15), (
@@ -345,27 +459,51 @@ def prepare(scene, capacity: int | None = None) -> WaveScene:
     nm = scene.occ_words.shape[0]
     occ = np.zeros((capacity, 8, 128), np.int32)
     scw = np.zeros((capacity, 1, 128), np.int32)
-    if nm:
-        occ[:nm], scw[:nm] = _brick_cr(scene.occ_words)
-    attr_comb = np.zeros(capacity * 32768 + G * G * G, np.int32)
-    attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
-    attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr, np.int32)
+    # batched: _brick_cr expands each brick to 32^3 bools — at 8192^3
+    # capacities (1e5 bricks) one shot would spike tens of GB of host
+    # intermediates
+    for b0 in range(0, nm, 4096):
+        b1 = min(b0 + 4096, nm)
+        occ[b0:b1], scw[b0:b1] = _brick_cr(scene.occ_words[b0:b1])
+    adt = np.int16 if attr16 else np.int32
+    attr_comb = np.zeros(capacity * 32768 + G * G * G, adt)
+    full_depth = int(np.log2(scene.world_size))
+    if attr16:
+        for b0 in range(0, nm, 4096):
+            b1 = min(b0 + 4096, nm)
+            attr_comb[b0 * 32768:b1 * 32768] = _encode_attr16(
+                np.asarray(scene.attrs[b0:b1]).reshape(-1), full_depth)
+        attr_comb[capacity * 32768:] = _encode_attr16(
+            np.asarray(scene.brick_attr, np.int32), full_depth)
+    else:
+        attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
+        attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr,
+                                                  np.int32)
     slot_np = np.asarray(scene.brick_slot)
     slot_cell = np.zeros(capacity, np.int32)
     cells = np.nonzero(slot_np >= 0)[0]
     slot_cell[slot_np[cells]] = cells.astype(np.int32)
+    if paged:
+        tabs, prow = _page_tables_np(scene)
+        l0_occ = prow
+        l0_mixed = tabs.reshape(-1, 128)
+        l0_sc = np.zeros((1, 128), np.int32)
+    else:
+        l0_occ = _l0_cr_tables(scene)
+        l0_mixed = _l0_mixed_table(scene)
+        l0_sc = _l0_super_words(scene)
     return WaveScene(
         fingerprint=_scene_fingerprint(scene),
         world_size=scene.world_size, grid_size=G, n_mixed=scene.n_mixed,
-        capacity=capacity,
-        l0_occ=jnp.asarray(_l0_cr_tables(scene), i32),
-        l0_mixed=jnp.asarray(_l0_mixed_table(scene), i32),
+        capacity=capacity, attr16=attr16,
+        l0_occ=jnp.asarray(l0_occ, i32),
+        l0_mixed=jnp.asarray(l0_mixed, i32),
         brick_slot=jnp.asarray(scene.brick_slot, i32),
         occ_words=jnp.asarray(occ, i32),
-        attr_comb=jnp.asarray(attr_comb, i32),
+        attr_comb=jnp.asarray(attr_comb, adt),
         slot_cell=jnp.asarray(slot_cell, i32),
         sc_words=jnp.asarray(scw, i32),
-        l0_sc=jnp.asarray(_l0_super_words(scene), i32),
+        l0_sc=jnp.asarray(l0_sc, i32),
     )
 
 
@@ -392,9 +530,11 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
     uploads after an edit (Main.java:349-350).  Falls back to a full
     :func:`prepare` when the patch outgrows the slot capacity.
     """
-    if patch.n_mixed > ws.capacity:
-        return prepare(scene, capacity=patch.n_mixed
-                       + max(64, patch.n_mixed // 8))
+    if patch.n_mixed > ws.capacity or ws.grid_size > PAGE or ws.attr16:
+        # paged / half-word scenes re-derive in full (incremental paths
+        # for >2048^3 edits are future work; a full prepare is correct)
+        return prepare(scene, capacity=max(ws.capacity, patch.n_mixed
+                       + max(64, patch.n_mixed // 8)), attr16=ws.attr16)
     p = len(patch.upd_slots)
     occ_rows = np.asarray(patch.occ_rows, np.int32).reshape(p, 8, 128)
     occ_cr, sc_cr = _brick_cr(occ_rows)
@@ -659,7 +799,7 @@ def _bcast_rows(block, n):
 
 
 def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
-               sc_skip, serve, serve_width, cloop, *args):
+               sc_skip, serve, serve_width, cloop, kpage, *args):
     """One wavefront round for one (8,128) ray tile (module docstring).
 
     explicit mode (cam_dims=None) args:
@@ -683,9 +823,11 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     from jax.experimental.pallas import tpu as pltpu
 
     need_dyn = bool(extra) or bool(serve)
+    paged = G > PAGE
     args = list(args)
     tslot_ref = args.pop(0)
     tcell_ref = args.pop(0)
+    tpage_ref = args.pop(0) if paged else None
     if cam_dims is not None:
         W, H, ws_world = cam_dims[:3]
         cam_ref = args.pop(0)
@@ -698,6 +840,7 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     l0sc_ref = args.pop(0)
     occ_refs = [args.pop(0) for _ in range(KMAX)]
     sc_refs = [args.pop(0) for _ in range(KMAX)]
+    page_refs = [args.pop(0) for _ in range(kpage)] if paged else []
     occ_hbm_ref = args.pop(0) if need_dyn else None
     co_hbm_ref = args.pop(0) if need_dyn else None
     VW = serve_width if serve else 1
@@ -730,9 +873,19 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
     # blew the 1 MB SMEM budget at 1080p (2025 tiles).
     cells = [tcell_ref[k * KMAX + j] for j in range(KMAX)]
     slots = [tslot_ref[k * KMAX + j] for j in range(KMAX)]
+    pages = ([tpage_ref[k * kpage + j] for j in range(kpage)]
+             if paged else [])
+    # page-band keys (paged L0): a lane whose occupied page had no
+    # candidate table re-keys as BAND0 + page, so the next sort clusters
+    # punted lanes BY PAGE and the tile tables serve those pages — the
+    # page-level analog of cell keys (without it, incoherent rays starve
+    # exactly like the pre-serve r2 ladder: KEY_INIT carries no locality)
+    BAND0 = np.int32(G * G * G)
     in_cells0 = (key0 == cells[0])
     for j in range(1, KMAX):
         in_cells0 = in_cells0 | (key0 == cells[j])
+    for j in range(len(pages)):
+        in_cells0 = in_cells0 | (key0 == BAND0 + pages[j])
 
     # serve mode can advance ANY pending lane (the loop fetches whatever
     # block it needs), so its tile gate is simply "anything left to do"
@@ -786,13 +939,23 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         dxc = jnp.where(jnp.abs(dx) < eps, jnp.where(dx >= 0, eps, -eps), dx)
         dyc = jnp.where(jnp.abs(dy) < eps, jnp.where(dy >= 0, eps, -eps), dy)
         dzc = jnp.where(jnp.abs(dz) < eps, jnp.where(dz >= 0, eps, -eps), dz)
+        if OCT_SORT and not paged:
+            oct_key = ((dxc > 0).astype(i32) * 4 + (dyc > 0).astype(i32)
+                       * 2 + (dzc > 0).astype(i32)) << _oct_shift(G)
+        else:
+            oct_key = None
         inv_x, inv_y, inv_z = 1.0 / dxc, 1.0 / dyc, 1.0 / dzc
-        RB, RC = _l0_rows(G)   # l0_ref = byte-cell rows ++ coarse rows
-        l0b_rows = _bcast_rows(l0_ref, RB)
-        l0c_rows = [jnp.broadcast_to(l0_ref[RB + r:RB + r + 1, :],
-                                     (8, LANES)) for r in range(RC)]
-        mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
-        l0sc_rows = jnp.broadcast_to(l0sc_ref[0:1, :], (8, LANES))
+        if not paged:
+            RB, RC = _l0_rows(G)  # l0_ref = byte rows ++ coarse rows
+            l0b_rows = _bcast_rows(l0_ref, RB)
+            l0c_rows = [jnp.broadcast_to(l0_ref[RB + r:RB + r + 1, :],
+                                         (8, LANES)) for r in range(RC)]
+            mx_rows = _bcast_rows(mx_ref, mx_ref.shape[0])
+            l0sc_rows = jnp.broadcast_to(l0sc_ref[0:1, :], (8, LANES))
+        else:
+            # l0_ref = (1,128) page-occupancy bits (PAGED layout); the
+            # per-page tables arrive as the page_refs candidate blocks
+            pocc_row = jnp.broadcast_to(l0_ref[0:1, :], (8, LANES))
         nsc = G // 8
 
         def l0_sc_probe(sx_, sy_, sz_):
@@ -816,6 +979,177 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             word = _fetch(l0b_rows, c >> 2)
             return (word >> ((c & 3) * 8)) & 0xFF
 
+        if paged:
+            P = G // PAGE
+            PGV = f32(PAGE * 32.0)
+            pl0_cap = 3 * PAGE + 4
+
+            def _paged_march(p2x, p2y, p2z, act2):
+                """Phase-2 march under the PAGED L0 (module constants):
+                jump empty pages analytically from the resident
+                occupancy row; run the G=64-structured coarse-refine DDA
+                inside each candidate page (cond-gated on presence);
+                lanes on an occupied NON-candidate page stop unserved
+                (returned as stuck -> KEY_INIT punt).  Same return
+                contract as the flat _dda_cr call plus the mixed flag
+                (resolved from the page's mixed-byte rows at the stop).
+                """
+                zi_ = jnp.zeros(p2x.shape, i32)
+                zf_ = jnp.zeros(p2x.shape, f32)
+                gfW = f32(G) * 32.0
+                t1x, t2x_ = (0.0 - p2x) * inv_x, (gfW - p2x) * inv_x
+                t1y, t2y_ = (0.0 - p2y) * inv_y, (gfW - p2y) * inv_y
+                t1z, t2z_ = (0.0 - p2z) * inv_z, (gfW - p2z) * inv_z
+                t_ent = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x_),
+                                                jnp.minimum(t1y, t2y_)),
+                                    jnp.minimum(t1z, t2z_))
+                t_out = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x_),
+                                                jnp.maximum(t1y, t2y_)),
+                                    jnp.maximum(t1z, t2z_))
+                miss_box = (t_ent > t_out) | (t_out < 0.0)
+                t00 = jnp.maximum(t_ent, 0.0)
+                push = jnp.where(t00 > 0.0, t00 + _EXIT_EPS, f32(0.0))
+                alive0 = act2 & ~miss_box
+                c0 = (jnp.where(alive0, push, 0.0), zi_, zi_, zi_, zi_,
+                      zi_, jnp.where(miss_box & act2, 0, 1).astype(i32),
+                      alive0.astype(i32), zi_, jnp.asarray(0, i32),
+                      jnp.full(p2x.shape, -1, i32))
+
+                def cond(c):
+                    return (c[9] < 3 * P + 4) & jnp.any(c[7] != 0)
+
+                def body(c):
+                    (t_rel, hit_i, mix_i, gx, gy, gz, ins_i, act_i,
+                     steps, it, pun_pg) = c
+                    act = act_i != 0
+                    qx = p2x + t_rel * dxc
+                    qy = p2y + t_rel * dyc
+                    qz = p2z + t_rel * dzc
+                    pgx = jnp.floor(qx / PGV).astype(i32)
+                    pgy = jnp.floor(qy / PGV).astype(i32)
+                    pgz = jnp.floor(qz / PGV).astype(i32)
+                    inside = ((pgx >= 0) & (pgx < P) & (pgy >= 0)
+                              & (pgy < P) & (pgz >= 0) & (pgz < P))
+                    out_now = act & ~inside
+                    ins_i = jnp.where(out_now, 0, ins_i)
+                    act_i = jnp.where(out_now, 0, act_i)
+                    act = act & inside
+                    pg = ((jnp.clip(pgx, 0, P - 1) * P
+                           + jnp.clip(pgy, 0, P - 1)) * P
+                          + jnp.clip(pgz, 0, P - 1))
+                    w = jnp.take_along_axis(pocc_row, pg >> 5, axis=1)
+                    has = ((w >> (pg & 31)) & 1) != 0
+                    # empty page: jump to its exit analytically
+                    emp = act & ~has
+                    tex = jnp.minimum(jnp.minimum(
+                        ((pgx.astype(f32) * PGV
+                          + jnp.where(dxc > 0, PGV, f32(0.0))) - p2x)
+                        * inv_x,
+                        ((pgy.astype(f32) * PGV
+                          + jnp.where(dyc > 0, PGV, f32(0.0))) - p2y)
+                        * inv_y),
+                        ((pgz.astype(f32) * PGV
+                          + jnp.where(dzc > 0, PGV, f32(0.0))) - p2z)
+                        * inv_z)
+                    t_rel = jnp.where(emp, tex + _EXIT_EPS, t_rel)
+                    steps = steps + emp.astype(i32)
+                    served = jnp.zeros_like(act_i)
+                    for j in range(kpage):
+                        pj = pages[j]
+                        mj = act & has & (pg == pj)
+
+                        def run_j(mj_i, j=j, pj=pj):
+                            mj_ = mj_i != 0
+                            tab = page_refs[j][0]
+
+                            def rows(lo, n):
+                                return [jnp.broadcast_to(
+                                    tab[lo + r:lo + r + 1, :], (8, LANES))
+                                    for r in range(n)]
+
+                            rows_c = rows(64, 8)
+                            rows_b = rows(0, 64)
+                            rows_m = rows(72, 64)
+                            sc_row = jnp.broadcast_to(tab[136:137, :],
+                                                      (8, LANES))
+
+                            def pc(cx, cy, cz):
+                                c = (cx * 32 + cy) * 32 + cz
+                                word = _fetch(rows_c, c >> 5)
+                                return ((word >> (c & 31)) & 1) != 0
+
+                            def pb(cx, cy, cz, mask):
+                                del mask
+                                c = (cx * 32 + cy) * 32 + cz
+                                word = _fetch(rows_b, c >> 2)
+                                return (word >> ((c & 3) * 8)) & 0xFF
+
+                            def scp(sx_, sy_, sz_):
+                                sbit = (sx_ * 8 + sy_) * 8 + sz_
+                                ww = jnp.take_along_axis(sc_row,
+                                                         sbit >> 5, axis=1)
+                                return ((ww >> (sbit & 31)) & 1) != 0
+
+                            pjx = (pj // (P * P)).astype(f32) * PGV
+                            pjy = ((pj // P) % P).astype(f32) * PGV
+                            pjz = (pj % P).astype(f32) * PGV
+                            h, ix, iy, iz, tt, ins, st = _dda_cr(
+                                qx - pjx, qy - pjy, qz - pjz, dxc, dyc,
+                                dzc, inv_x, inv_y, inv_z, PAGE,
+                                f32(1.0) * 32.0, pc, pb, pl0_cap, mj_i,
+                                early_exit,
+                                sc_probe=scp if sc_skip else None,
+                                gate_refine=True)
+                            cix = jnp.clip(ix, 0, PAGE - 1)
+                            ciy = jnp.clip(iy, 0, PAGE - 1)
+                            ciz = jnp.clip(iz, 0, PAGE - 1)
+                            cc = ((cix >> 1) * 32 + (ciy >> 1)) * 32 \
+                                + (ciz >> 1)
+                            word = _fetch(rows_m, cc >> 2)
+                            byte = (word >> ((cc & 3) * 8)) & 0xFF
+                            bit = (((cix & 1) << 2) | ((ciy & 1) << 1)
+                                   | (ciz & 1))
+                            mx_ = ((byte >> bit) & 1)
+                            return h, ix, iy, iz, tt, ins, st, mx_
+
+                        def skip_j(mj_i):
+                            del mj_i
+                            return (zi_, zi_, zi_, zi_, zf_, zi_, zi_,
+                                    zi_)
+
+                        h, ix, iy, iz, tt, ins, st, mx_ = jax.lax.cond(
+                            jnp.any(mj & (pj >= 0)), run_j, skip_j,
+                            mj.astype(i32))
+                        nh = mj & (h != 0)
+                        hit_i = hit_i | nh.astype(i32)
+                        mix_i = jnp.where(nh, mx_, mix_i)
+                        gx = jnp.where(nh, pgx * PAGE + ix, gx)
+                        gy = jnp.where(nh, pgy * PAGE + iy, gy)
+                        gz = jnp.where(nh, pgz * PAGE + iz, gz)
+                        t_rel = jnp.where(nh, t_rel + tt, t_rel)
+                        ex = mj & (h == 0) & (ins == 0)
+                        t_rel = jnp.where(ex, t_rel + tt + _EXIT_EPS,
+                                          t_rel)
+                        stck = mj & (h == 0) & (ins != 0)
+                        t_rel = jnp.where(stck, t_rel + tt, t_rel)
+                        act_i = jnp.where(nh | stck, 0, act_i)
+                        served = served | mj.astype(i32)
+                        steps = steps + jnp.where(mj, st, 0)
+                    # occupied page with no candidate table: punt as
+                    # stuck (position preserved; next round's tables
+                    # cover it)
+                    pun = act & has & (served == 0)
+                    act_i = jnp.where(pun, 0, act_i)
+                    pun_pg = jnp.where(pun, pg, pun_pg)
+                    return (t_rel, hit_i, mix_i, gx, gy, gz, ins_i,
+                            act_i, steps, it + 1, pun_pg)
+
+                c = jax.lax.while_loop(cond, body, c0)
+                (t_rel, hit_i, mix_i, gx, gy, gz, ins_i, _a, steps,
+                 _it, pun_pg) = c
+                return (hit_i, gx, gy, gz, t_rel, ins_i, steps,
+                        mix_i != 0, pun_pg)
+
         ws = G * 32
         zi = jnp.zeros(key0.shape, i32)
         zf = jnp.zeros(key0.shape, f32)
@@ -835,6 +1169,8 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             cell is among the candidates; each candidate's DDA is
             cond-gated on its presence scalar (see phase-1 comment)."""
             m_init = keyw == KEY_INIT
+            if paged:
+                m_init = m_init | ((keyw >= BAND0) & (keyw < KEY_DONE))
             m_brick = (keyw == cand[0][0])
             slot_v = jnp.full(keyw.shape, cand[0][1], i32)
             for j in range(1, len(cand)):
@@ -843,7 +1179,9 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                 slot_v = jnp.where(mj, cand[j][1], slot_v)
 
             # ---- phase 1: per-candidate coarse-refine DDAs ------------
-            kc = jnp.clip(keyw, 0, G * G * G - 1)
+            kcell = (keyw & ((1 << _oct_shift(G)) - 1)
+                     if oct_key is not None else keyw)
+            kc = jnp.clip(kcell, 0, G * G * G - 1)
             bxv = (kc // (G * G)).astype(f32) * 32.0
             byv = ((kc // G) % G).astype(f32) * 32.0
             bzv = (kc % G).astype(f32) * 32.0
@@ -908,26 +1246,32 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             p2y = oy + t2_0 * dyc
             p2z = oz + t2_0 * dzc
             act2 = (m_brick & ~hit1b) | m_init
-            # phase-2 refine stays cond-gated at G>32, where the full
-            # L0 byte fetch is a 64-row composite — paying it per STEP
-            # instead of per stop is the 2048^3 cliff (PERF_NOTES r4)
-            hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda_cr(
-                p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
-                G, f32(32.0), l0_probe_coarse, l0_probe_byte, l0_cap,
-                act2.astype(i32), early_exit,
-                sc_probe=l0_sc_probe if (sc_skip and G >= 8) else None,
-                gate_refine=(G > 32))
+            if paged:
+                (hit2, b2x, b2y, b2z, t2, ins2, st2, is_mixed,
+                 pun_pg) = _paged_march(p2x, p2y, p2z, act2)
+            else:
+                # phase-2 refine stays cond-gated at G>32, where the
+                # full L0 byte fetch is a 64-row composite — paying it
+                # per STEP instead of per stop is the 2048^3 cliff
+                hit2, b2x, b2y, b2z, t2, ins2, st2 = _dda_cr(
+                    p2x, p2y, p2z, dxc, dyc, dzc, inv_x, inv_y, inv_z,
+                    G, f32(32.0), l0_probe_coarse, l0_probe_byte, l0_cap,
+                    act2.astype(i32), early_exit,
+                    sc_probe=l0_sc_probe if (sc_skip and G >= 8)
+                    else None, gate_refine=(G > 32))
             hit2b = hit2 != 0
             ins2b = ins2 != 0
-            c2x = jnp.clip(b2x, 0, G - 1)
-            c2y = jnp.clip(b2y, 0, G - 1)
-            c2z = jnp.clip(b2z, 0, G - 1)
-            if ZW == 1:
-                mxw = _fetch(mx_rows, c2x * G + c2y)
-                is_mixed = ((mxw >> c2z) & 1) != 0
-            else:
-                mxw = _fetch(mx_rows, (c2x * G + c2y) * ZW + (c2z >> 5))
-                is_mixed = ((mxw >> (c2z & 31)) & 1) != 0
+            if not paged:
+                c2x = jnp.clip(b2x, 0, G - 1)
+                c2y = jnp.clip(b2y, 0, G - 1)
+                c2z = jnp.clip(b2z, 0, G - 1)
+                if ZW == 1:
+                    mxw = _fetch(mx_rows, c2x * G + c2y)
+                    is_mixed = ((mxw >> c2z) & 1) != 0
+                else:
+                    mxw = _fetch(mx_rows,
+                                 (c2x * G + c2y) * ZW + (c2z >> 5))
+                    is_mixed = ((mxw >> (c2z & 31)) & 1) != 0
             cell2 = (b2x * G + b2y) * G + b2z
 
             # uniform-solid brick: hit at entry face; voxel from entry
@@ -952,14 +1296,25 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
             if G <= 32:
                 pack1 = (kc << 15) | widx1
                 pack2 = (i32(1) << 30) | (cell2 << 15) | widx2
-            else:
+            elif not paged:
                 pack1 = (slot_v << 15) | widx1
                 pack2 = (i32(1) << 30) | cell2
+            else:
+                # slots can exceed 15 bits: mixed hits store the slot
+                # alone (bit 29); the voxel is recomputed from t in
+                # _finish like the uniform case
+                pack1 = (i32(1) << 29) | slot_v
+                pack2 = (i32(1) << 30) | cell2
 
+            stuck_key = jnp.full(keyw.shape, KEY_INIT, i32)
+            if paged:
+                stuck_key = jnp.where(pun_pg >= 0, BAND0 + pun_pg,
+                                      stuck_key)
+            stop_key = cell2 if oct_key is None else (cell2 | oct_key)
             new_key = jnp.where(
                 hit1b | u_hit | missed, KEY_DONE,
-                jnp.where(m_stop, cell2,
-                          jnp.where(stuck, KEY_INIT, keyw)))
+                jnp.where(m_stop, stop_key,
+                          jnp.where(stuck, stuck_key, keyw)))
             new_t = jnp.where(
                 hit1b, tw + t1,
                 jnp.where(u_hit, t_uni,
@@ -996,6 +1351,8 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                 inc = keycl == KEY_INIT
                 for j in range(KMAX):
                     inc = inc | (keycl == cells[j])
+                for j in range(len(pages)):
+                    inc = inc | (keycl == BAND0 + pages[j])
                 return (c[4] < cloop) & jnp.any(inc)
 
             def _cl_body(c):
@@ -1017,7 +1374,10 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
         # tile candidates only cover the cells known BEFORE the round).
         def _slot_of(cmin):
             """Mixed slot of a voted cell (cmin==KEY_DONE -> junk but
-            safe: the candidate is neutered to -1 and matches nothing)."""
+            safe: the candidate is neutered to -1 and matches nothing).
+            Octant-composite keys mask down to the cell bits first."""
+            if oct_key is not None:
+                cmin = cmin & ((1 << _oct_shift(G)) - 1)
             csafe = jnp.clip(cmin, 0, G * G * G - 1)
             if G <= 32:
                 return jnp.maximum(bslot_ref[csafe], 0)
@@ -1099,19 +1459,27 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                  state, G, NM, inner_cap, l0_cap, early_exit, interpret,
                  cont=1, cam=None, cam_dims=None, extra=0, brick_slot=None,
                  sc_words=None, sc_skip=True, l0_sc=None, serve=0,
-                 serve_width=1, cloop=0):
+                 serve_width=1, cloop=0, tile_page=None):
     """Traceable pallas_call wrapper (jitted by _run_kernel / fused into
     round bodies).  ``cam``/(static) ``cam_dims`` select camera mode;
     ``extra``/``serve`` enable the in-kernel dynamic continuation / serve
     loop (both need ``brick_slot``); ``serve_width`` = concurrent block
-    DMAs per serve iteration (valid at every G — the packed16 SMEM slot
-    map keeps the vote's cell->slot lookup in SMEM at G>32)."""
+    DMAs per serve iteration (valid up to G=64 — the packed16 SMEM slot
+    map keeps the vote's cell->slot lookup in SMEM at G>32).  G > PAGE
+    switches to the PAGED L0 (module constants): ``l0_occ`` is the page-
+    occupancy row, ``l0_mixed`` carries the page tables (KPAGE candidate
+    blocks per tile via ``tile_page``), and serve/extra are unavailable.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     need_dyn = bool(extra) or bool(serve)
+    paged = G > PAGE
+    kpage = KPAGE if paged else 0
     if extra:
         assert G <= 32
+    if paged:
+        assert not need_dyn and tile_page is not None
     if need_dyn:
         assert brick_slot is not None
     if not serve:
@@ -1122,8 +1490,10 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     B = key.shape[0]
     kern = functools.partial(_wf_kernel, G, NM, inner_cap, l0_cap,
                              early_exit, cont, cam_dims, extra, sc_skip,
-                             serve, serve_width, cloop)
+                             serve, serve_width, cloop, kpage)
     scalars = ()
+    if paged:
+        scalars += (tile_page.reshape(-1),)
     if cam_dims is not None:
         scalars += (cam.astype(f32),)
     if need_dyn:
@@ -1152,6 +1522,14 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
             lambda k, s, *rest, j=j: (jnp.maximum(s[k * KMAX + j], 0), 0, 0),
             memory_space=pltpu.VMEM)
 
+    def page_spec(j):
+        # index map args: (grid k, tslot, tcell, tpage, ...)
+        return pl.BlockSpec(
+            (1, PAGE_ROWS, LANES),
+            lambda k, s, c, t, *rest, j=j: (jnp.maximum(t[k * kpage + j],
+                                                        0), 0, 0),
+            memory_space=pltpu.VMEM)
+
     n_in_rays = 10 if cam_dims is None else 5
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1162,6 +1540,7 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
                   pl.BlockSpec(memory_space=pltpu.VMEM)]   # l0_sc
         + [occ_spec(j) for j in range(KMAX)]
         + [sc_spec(j) for j in range(KMAX)]
+        + [page_spec(j) for j in range(kpage)]
         + ([pl.BlockSpec(memory_space=pl.ANY)] * 2 if need_dyn else [])
         + [ray_spec] * n_in_rays,
         out_specs=tuple([ray_spec] * 4),
@@ -1181,6 +1560,13 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
     else:
         ins = [rs(a) for a in state]                # key, t, pack, it, rid
 
+    if paged:
+        page_l0 = l0_mixed.reshape(-1, PAGE_ROWS, LANES)
+        l0_mixed_op = l0_mixed[:1]   # dummy row; kernel ignores it
+        page_ops = (page_l0,) * kpage
+    else:
+        l0_mixed_op = l0_mixed
+        page_ops = ()
     hbm_extra = (occ_words, sc_words) if need_dyn else ()
     outs = pl.pallas_call(
         kern, grid_spec=grid_spec, interpret=interpret,
@@ -1188,8 +1574,8 @@ def _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
             jax.ShapeDtypeStruct((B // LANES, LANES), dt)
             for dt in (i32, f32, i32, i32)),
     )(tile_slot.reshape(-1), tile_cell.reshape(-1), *scalars,
-      l0_occ, l0_mixed, l0_sc, *([occ_words] * KMAX), *([sc_words] * KMAX),
-      *hbm_extra, *ins)
+      l0_occ, l0_mixed_op, l0_sc, *([occ_words] * KMAX),
+      *([sc_words] * KMAX), *page_ops, *hbm_extra, *ins)
     key2, t2, pack2, it2 = (a.reshape(-1) for a in outs)
     if cam_dims is None:
         return (key2, state[1], state[2], state[3], state[4], state[5],
@@ -1212,8 +1598,9 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
     compaction slices (tails harvested) + the kernel.  Traceable; jitted
     as _round_fused for the dynamic loop and inlined into the
     static-schedule trace."""
-    srt, tile_slot, tile_cell, n_act = _sort_stage(
-        state, brick_slot, cam, cam_dims=cam_dims, G=G, predict=PREDICT)
+    srt, tile_slot, tile_cell, tile_page, n_act = _sort_stage(
+        state, brick_slot, cam, cam_dims=cam_dims, G=G, predict=PREDICT,
+        l0_occ=l0_occ if G > PAGE else None)
     for _ in range(halvings):
         T = tile_slot.shape[0]
         T2 = (T + 1) // 2
@@ -1221,6 +1608,8 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
         srt = tuple(a[:T2 * TILE] for a in srt)
         tile_slot = tile_slot[:T2]
         tile_cell = tile_cell[:T2]
+        if tile_page is not None:
+            tile_page = tile_page[:T2]
         opack, ot, oit = _harvest(tail[-4], tail[-3], tail[-2],
                                   opack, ot, oit, tail[-1])
     state2 = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed, occ_words,
@@ -1228,7 +1617,8 @@ def _round_body(state, brick_slot, l0_occ, l0_mixed, occ_words,
                           interpret, cont, cam=cam, cam_dims=cam_dims,
                           extra=extra, brick_slot=brick_slot,
                           sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc,
-                          serve=serve, serve_width=serve_width, cloop=cloop)
+                          serve=serve, serve_width=serve_width, cloop=cloop,
+                          tile_page=tile_page)
     return state2, (opack, ot, oit), n_act
 
 
@@ -1239,30 +1629,32 @@ _round_fused = functools.partial(jax.jit, static_argnames=(
 
 
 # -------------------------------------------------------------------- driver
-def _march_candidates(mp, md, cand_flat, G, K, valid):
+def _march_candidates(mp, md, cand_flat, G, K, valid, cell=32.0):
     """March each tile's mean ray (mp (T,3) voxel units, md (T,3)) over
-    the G^3 candidate-cell grid (mixed cells) and collect the first K
+    the G^3 candidate-cell grid (edge ``cell`` voxels; mixed cells for
+    bricks, occupied pages for the paged L0) and collect the first K
     flagged cells.  Returns (T, K) i32 cells, -1 padded.  ~T-wide
     vectors for <=3G+4 steps — negligible next to the round's sort."""
     T = mp.shape[0]
     eps = _DIR_EPS
+    cell = f32(cell)
     d = jnp.where(jnp.abs(md) < eps, jnp.where(md >= 0, eps, -eps), md)
     inv = 1.0 / d
-    ix = jnp.clip((mp[:, 0] / 32.0).astype(i32), 0, G - 1)
-    iy = jnp.clip((mp[:, 1] / 32.0).astype(i32), 0, G - 1)
-    iz = jnp.clip((mp[:, 2] / 32.0).astype(i32), 0, G - 1)
+    ix = jnp.clip((mp[:, 0] / cell).astype(i32), 0, G - 1)
+    iy = jnp.clip((mp[:, 1] / cell).astype(i32), 0, G - 1)
+    iz = jnp.clip((mp[:, 2] / cell).astype(i32), 0, G - 1)
     sx = jnp.where(d[:, 0] > 0, i32(1), i32(-1))
     sy = jnp.where(d[:, 1] > 0, i32(1), i32(-1))
     sz = jnp.where(d[:, 2] > 0, i32(1), i32(-1))
-    nx = jnp.where(d[:, 0] > 0, ix + 1, ix).astype(f32) * 32.0
-    ny = jnp.where(d[:, 1] > 0, iy + 1, iy).astype(f32) * 32.0
-    nz = jnp.where(d[:, 2] > 0, iz + 1, iz).astype(f32) * 32.0
+    nx = jnp.where(d[:, 0] > 0, ix + 1, ix).astype(f32) * cell
+    ny = jnp.where(d[:, 1] > 0, iy + 1, iy).astype(f32) * cell
+    nz = jnp.where(d[:, 2] > 0, iz + 1, iz).astype(f32) * cell
     tx = (nx - mp[:, 0]) * inv[:, 0]
     ty = (ny - mp[:, 1]) * inv[:, 1]
     tz = (nz - mp[:, 2]) * inv[:, 2]
-    adx = jnp.abs(inv[:, 0]) * 32.0
-    ady = jnp.abs(inv[:, 1]) * 32.0
-    adz = jnp.abs(inv[:, 2]) * 32.0
+    adx = jnp.abs(inv[:, 0]) * cell
+    ady = jnp.abs(inv[:, 1]) * cell
+    adz = jnp.abs(inv[:, 2]) * cell
     cand0 = jnp.full((T, K), -1, i32)
     cnt0 = jnp.zeros(T, i32)
 
@@ -1294,23 +1686,64 @@ def _march_candidates(mp, md, cand_flat, G, K, valid):
     return c[6]
 
 
-def _merge_candidates(present, marched, brick_slot):
-    """First-KMAX unique union of present tile cells and marched
-    predictions (present first — they hold live lanes)."""
-    cand = jnp.concatenate([present, marched], axis=1)  # (T, 2K)
-    twoK = cand.shape[1]
+def _first_k_unique(cand, K):
+    """First K unique non-negative entries per row of ``cand`` (T, M),
+    preserving order; -1 padded."""
+    M = cand.shape[1]
     validc = cand >= 0
     eq = (cand[:, :, None] == cand[:, None, :]) & validc[:, None, :]
-    earlier = jnp.tril(jnp.ones((twoK, twoK), bool), -1)
+    earlier = jnp.tril(jnp.ones((M, M), bool), -1)
     dup = (eq & earlier[None]).any(axis=1)
     keep = validc & ~dup
     rank = jnp.cumsum(keep.astype(i32), axis=1) - 1
-    cells = [jnp.max(jnp.where(keep & (rank == r), cand, -1), axis=1)
-             for r in range(KMAX)]
-    tile_cell = jnp.stack(cells, axis=1)
+    return jnp.stack([jnp.max(jnp.where(keep & (rank == r), cand, -1),
+                              axis=1) for r in range(K)], axis=1)
+
+
+def _merge_candidates(present, marched, brick_slot):
+    """First-KMAX unique union of present tile keys and marched
+    predictions (present first — they hold live lanes)."""
+    tile_cell = _first_k_unique(jnp.concatenate([present, marched],
+                                                axis=1), KMAX)
+    ncell = brick_slot.shape[0]
+    cell_of = tile_cell & (ncell - 1) if OCT_SORT else tile_cell
     tile_slot = jnp.where(tile_cell >= 0,
-                          brick_slot[jnp.maximum(tile_cell, 0)], -1)
+                          brick_slot[jnp.clip(cell_of, 0, ncell - 1)], -1)
     return tile_slot, tile_cell
+
+
+def _page_candidates(tile_cell, mp, md, valid, l0_occ, G, kpage,
+                     kt=None):
+    """(T, kpage) candidate PAGE ids for the paged L0 (G > 64): pages of
+    the tile's PUNTED lanes (page-band keys in the sorted rows ``kt`` —
+    these hold live rays, so they come first), pages of the candidate
+    cells, the tile's mean position's page, and occupied pages marched
+    along the mean ray (covers uniform-brick stops whose cells are not
+    mixed candidates)."""
+    P = G // PAGE
+    n = P * P * P
+    band0 = G * G * G
+    b = jnp.arange(n, dtype=i32)
+    row = l0_occ.reshape(-1)
+    pocc_flat = (row[b >> 5] >> (b & 31)) & 1
+    cx = tile_cell // (G * G)
+    cy = (tile_cell // G) % G
+    cz = tile_cell % G
+    cpg = jnp.where(tile_cell >= 0,
+                    ((cx // PAGE) * P + (cy // PAGE)) * P + (cz // PAGE),
+                    -1)
+    mpg_x = jnp.clip((mp[:, 0] / f32(PAGE * 32)).astype(i32), 0, P - 1)
+    mpg_y = jnp.clip((mp[:, 1] / f32(PAGE * 32)).astype(i32), 0, P - 1)
+    mpg_z = jnp.clip((mp[:, 2] / f32(PAGE * 32)).astype(i32), 0, P - 1)
+    mpg = jnp.where(valid, (mpg_x * P + mpg_y) * P + mpg_z, -1)[:, None]
+    marched = _march_candidates(mp, md, pocc_flat, P, kpage, valid,
+                                cell=PAGE * 32.0)
+    cand = [mpg, cpg, marched]
+    if kt is not None:
+        in_band = (kt >= band0) & (kt < KEY_DONE)
+        bpg = _first_k_unique(jnp.where(in_band, kt - band0, -1), kpage)
+        cand = [bpg] + cand
+    return _first_k_unique(jnp.concatenate(cand, axis=1), kpage)
 
 
 def _cam_rays(rid, cam, cam_dims):
@@ -1346,7 +1779,10 @@ def _tile_means(key, pos, dirs):
     the shared surface normal — the dominant escape direction — so the
     marched prediction covers the cells most bounce rays traverse."""
     T = key.shape[0] // TILE
-    w = (((key >= 0) & (key < KEY_DONE)).astype(f32)).reshape(T, TILE)
+    # KEY_INIT lanes count too: under the paged L0 a round-0 ray is
+    # stuck-INIT at its first occupied page's boundary, and the mean
+    # position is the only signal the page-candidate tables have for it
+    w = ((key != KEY_DONE).astype(f32)).reshape(T, TILE)
     sw = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     mp = jnp.stack([jnp.sum(pos[:, a].reshape(T, TILE) * w, axis=1) / sw
                     for a in range(3)], axis=1)
@@ -1357,7 +1793,8 @@ def _tile_means(key, pos, dirs):
     return mp, md, jnp.sum(w, axis=1) > 0
 
 
-def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, G):
+def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, G,
+                      l0_occ=None):
     """Tile tables = present distinct cells ++ cells marched along the
     tile's mean ray (the v4 candidate-prediction: a tile whose lanes
     share one cell otherwise wastes KMAX-1 candidate slots, capping
@@ -1371,24 +1808,42 @@ def _predicted_tables(kt_rows, key_flat, pos, dirs, brick_slot, G):
     mixed_flat = (brick_slot >= 0).astype(i32)
     mp, md, valid = _tile_means(key_flat, pos, dirs)
     marched = _march_candidates(mp, md, mixed_flat, G, KMAX, valid)
+    if OCT_SORT and not (G > PAGE):
+        # candidates must match the kernel's composite keys: tag the
+        # marched cells with the tile's mean-direction octant (tiles
+        # are octant-sorted, so members share it)
+        toct = ((md[:, 0] > 0).astype(i32) * 4
+                + (md[:, 1] > 0).astype(i32) * 2
+                + (md[:, 2] > 0).astype(i32)) << _oct_shift(G)
+        marched = jnp.where(marched >= 0, marched | toct[:, None],
+                            marched)
     tile_slot, tile_cell = _merge_candidates(tile_cell, marched,
                                              brick_slot)
-    return tile_slot, tile_cell, n_act
+    if l0_occ is None:
+        return tile_slot, tile_cell, None, n_act
+    tile_page = _page_candidates(tile_cell, mp, md, valid, l0_occ, G,
+                                 KPAGE, kt=kt_rows)
+    return tile_slot, tile_cell, tile_page, n_act
 
 
 @functools.partial(jax.jit, static_argnames=("cam_dims", "G", "predict"))
 def _sort_stage(state, brick_slot, cam=None, cam_dims=None, G=None,
-                predict=False):
+                predict=False, l0_occ=None):
     """Sort by key, build tile tables, count actives.  Runs once per
     round at the current (static) size.  Results of finished rays ride
     the sort into the tail and are harvested when compaction slices them
     off (_harvest) — scattering them every round would cost full-size
-    random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round)."""
+    random scatters at XLA's ~0.1 G elem/s (measured r2: 80+ ms/round).
+
+    Returns (srt, tile_slot, tile_cell, tile_page, n_act); tile_page is
+    None below the paged-L0 threshold (G <= 64) and when ``l0_occ`` —
+    the (1,128) page-occupancy row — is not supplied."""
     srt = jax.lax.sort(tuple(state), num_keys=1)
-    if not predict:
-        tile_slot, tile_cell, n_act = _tile_tables(srt[0], brick_slot)
-        return srt, tile_slot, tile_cell, n_act
+    paged = G is not None and G > PAGE and l0_occ is not None
     key = srt[0]
+    if not predict and not paged:
+        tile_slot, tile_cell, n_act = _tile_tables(key, brick_slot)
+        return srt, tile_slot, tile_cell, None, n_act
     if cam_dims is None:
         _, ox, oy, oz, dx, dy, dz, t = srt[:8]
         pos = jnp.stack([ox + t * dx, oy + t * dy, oz + t * dz], axis=1)
@@ -1396,24 +1851,40 @@ def _sort_stage(state, brick_slot, cam=None, cam_dims=None, G=None,
     else:
         o, dirs = _cam_rays(srt[4], cam, cam_dims)
         pos = o + srt[1][:, None] * dirs
-    tile_slot, tile_cell, n_act = _predicted_tables(
-        key.reshape(-1, TILE), key, pos, dirs, brick_slot, G)
-    return srt, tile_slot, tile_cell, n_act
+    if not predict:
+        # pages still need the mean-ray march; candidate cells don't
+        tile_slot, tile_cell, n_act = _tile_tables(key, brick_slot)
+        mp, md, valid = _tile_means(key, pos, dirs)
+        tile_page = _page_candidates(tile_cell, mp, md, valid, l0_occ, G,
+                                     KPAGE, kt=key.reshape(-1, TILE))
+        return srt, tile_slot, tile_cell, tile_page, n_act
+    tile_slot, tile_cell, tile_page, n_act = _predicted_tables(
+        key.reshape(-1, TILE), key, pos, dirs, brick_slot, G,
+        l0_occ=l0_occ if paged else None)
+    return srt, tile_slot, tile_cell, tile_page, n_act
 
 
 def _distinct_tables(kt, brick_slot):
-    """First KMAX distinct cells per tile row of ``kt`` (rows must be
-    sorted so equal cells are adjacent) + active count."""
+    """First KMAX distinct pending keys per tile row of ``kt`` (rows
+    must be sorted so equal keys are adjacent) + active count.  The
+    table entries carry the key VERBATIM (octant-composite under
+    OCT_SORT — the kernel compares keys, so candidates must match
+    bit-for-bit); only the brick_slot lookup masks down to cell bits.
+    Page-band keys (>= G^3, paged L0 punts) are active but are not
+    cells — they feed the PAGE tables (_page_candidates) instead."""
     T = kt.shape[0]
-    valid = (kt >= 0) & (kt < KEY_DONE)
+    ncell = brick_slot.shape[0]
+    limit = (ncell * 8) if OCT_SORT else ncell
+    valid = (kt >= 0) & (kt < limit)
     ch = jnp.concatenate(
         [jnp.ones((T, 1), bool), kt[:, 1:] != kt[:, :-1]], axis=1)
     rank = jnp.cumsum((ch & valid).astype(i32), axis=1) - 1
     cells = [jnp.max(jnp.where(valid & (rank == r), kt, -1), axis=1)
              for r in range(KMAX)]
     tile_cell = jnp.stack(cells, axis=1)
+    cell_of = tile_cell & (ncell - 1) if OCT_SORT else tile_cell
     tile_slot = jnp.where(tile_cell >= 0,
-                          brick_slot[jnp.maximum(tile_cell, 0)], -1)
+                          brick_slot[jnp.clip(cell_of, 0, ncell - 1)], -1)
     n_act = jnp.sum((kt != KEY_DONE).astype(i32))
     return tile_slot, tile_cell, n_act
 
@@ -1425,7 +1896,7 @@ def _tile_tables(key, brick_slot):
 
 @functools.partial(jax.jit, static_argnames=("cam_dims", "G", "predict"))
 def _tile_tables_local(key, brick_slot, cam=None, cam_dims=None,
-                       state=None, G=None, predict=False):
+                       state=None, G=None, predict=False, l0_occ=None):
     """Tables for the UNSORTED pixel layout: per-tile sort of the keys
     only (a batched 1024-wide sort, not the multi-operand global sort).
     Exploits primary/bounce-ray coherence — a 32x32-pixel tile's rays
@@ -1434,8 +1905,10 @@ def _tile_tables_local(key, brick_slot, cam=None, cam_dims=None,
     the sorted rounds.  With ``predict`` the unused candidate slots are
     filled by the marched prediction (_predicted_tables)."""
     kt = jnp.sort(key.reshape(-1, TILE), axis=1)
-    if not predict:
-        return _distinct_tables(kt, brick_slot)
+    paged = G is not None and G > PAGE and l0_occ is not None
+    if not predict and not paged:
+        ts_, tc_, na_ = _distinct_tables(kt, brick_slot)
+        return ts_, tc_, None, na_
     if cam_dims is None:
         _, ox, oy, oz, dx, dy, dz, t = state[:8]
         pos = jnp.stack([ox + t * dx, oy + t * dy, oz + t * dz], axis=1)
@@ -1443,7 +1916,14 @@ def _tile_tables_local(key, brick_slot, cam=None, cam_dims=None,
     else:
         o, dirs = _cam_rays(state[4], cam, cam_dims)
         pos = o + state[1][:, None] * dirs
-    return _predicted_tables(kt, key, pos, dirs, brick_slot, G)
+    if not predict:
+        ts_, tc_, na_ = _distinct_tables(kt, brick_slot)
+        mp, md, valid = _tile_means(key, pos, dirs)
+        tp_ = _page_candidates(tc_, mp, md, valid, l0_occ, G, KPAGE,
+                               kt=kt)
+        return ts_, tc_, tp_, na_
+    return _predicted_tables(kt, key, pos, dirs, brick_slot, G,
+                             l0_occ=l0_occ if paged else None)
 
 
 @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
@@ -1521,7 +2001,7 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
         vx = (cell // (G * G)) * 32 + widx // 1024
         vy = ((cell // G) % G) * 32 + (widx // 32) % 32
         vz = (cell % G) * 32 + widx % 32
-    else:
+    elif G <= PAGE:
         # mixed: slot<<15 | widx; uniform: 1<<30 | cell (kernel comment)
         widx = pk & 0x7FFF
         slot = (pk >> 15) & 0x7FFF
@@ -1535,9 +2015,35 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
         vx = jnp.where(uni == 1, ux, bx * 32 + widx // 1024)
         vy = jnp.where(uni == 1, uy, by * 32 + (widx // 32) % 32)
         vz = jnp.where(uni == 1, uz, bz * 32 + widx % 32)
+    else:
+        # PAGED pack: mixed = 1<<29 | slot, uniform = 1<<30 | cell; the
+        # hit voxel is recomputed from t for BOTH (kernel pack comment).
+        # t is the entry-face distance, so nudge 0.01 voxel along the
+        # ray before flooring (then clip to the brick box) — the same
+        # contract the uniform recompute at G>32 relies on.
+        slot = jnp.clip(pk & ((1 << 29) - 1), 0, capacity - 1)
+        cell = jnp.where(uni == 1, pk & ((1 << 30) - 1), slot_cell[slot])
+        bx, by, bz = cell // (G * G), (cell // G) % G, cell % G
+        ov = (origins.astype(f32) - 1.0) * f32(ws)
+        d = dirs.astype(f32)
+        p = ov + t_vox[:, None] * d + d * f32(1e-2)
+        vx = jnp.clip(p[:, 0].astype(i32), bx * 32, bx * 32 + 31)
+        vy = jnp.clip(p[:, 1].astype(i32), by * 32, by * 32 + 31)
+        vz = jnp.clip(p[:, 2].astype(i32), bz * 32, bz * 32 + 31)
+        widx = ((vx - bx * 32) * 1024 + (vy - by * 32) * 32
+                + (vz - bz * 32))
     aidx = jnp.where(uni == 1, i32(capacity) * 32768 + cell,
                      slot * 32768 + widx)
-    attr = jnp.where(hit, attr_comb[jnp.where(hit, aidx, 0)], 0)
+    attr_raw = jnp.where(hit, attr_comb[jnp.where(hit, aidx, 0)], 0)
+    if attr_comb.dtype == jnp.int16:
+        # half-word decode (_encode_attr16): value(2) | raw(10) | dd(3)
+        a = attr_raw.astype(i32) & 0xFFFF
+        full_depth = int(np.log2(ws))
+        attr = ((a & 3) | (((a >> 2) & 0x3FF) << 8)
+                | ((full_depth - ((a >> 12) & 7)) << 24))
+        attr = jnp.where(a == 0, 0, attr)
+    else:
+        attr = attr_raw.astype(i32)
     vx = jnp.where(hit, vx, -1)
     vy = jnp.where(hit, vy, -1)
     vz = jnp.where(hit, vz, -1)
@@ -1579,15 +2085,18 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
     ot = jnp.zeros((B + 1,), f32)
     oit = jnp.zeros((B + 1,), i32)
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
+    none_page = (jnp.full((S // TILE, KPAGE), -1, i32) if G > PAGE
+                 else None)
     state = _call_kernel(none_slot, none_slot, l0_occ, l0_mixed, occ_words,
                          state, G, NM, inner_cap, l0_cap, early_exit,
                          interpret, cam=cam, cam_dims=cam_dims,
                          extra=extra, brick_slot=brick_slot,
-                         sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc)
+                         sc_words=sc_words, sc_skip=sc_skip, l0_sc=l0_sc,
+                         tile_page=none_page)
     if local_round1:
-        tile_slot, tile_cell, _n = _tile_tables_local(
+        tile_slot, tile_cell, tile_page, _n = _tile_tables_local(
             state[0], brick_slot, cam, cam_dims=cam_dims, state=state,
-            G=G, predict=PREDICT)
+            G=G, predict=PREDICT, l0_occ=l0_occ if G > PAGE else None)
         state = _call_kernel(tile_slot, tile_cell, l0_occ, l0_mixed,
                              occ_words, state, G, NM, inner_cap, l0_cap,
                              early_exit, interpret, cont, cam=cam,
@@ -1595,7 +2104,8 @@ def _trace_body(origins, dirs, active, cam, wscene_arrays, schedule, B, G,
                              brick_slot=brick_slot, sc_words=sc_words,
                              sc_skip=sc_skip, l0_sc=l0_sc,
                              serve=serve if serve_local else 0,
-                             serve_width=serve_width, cloop=cloop)
+                             serve_width=serve_width, cloop=cloop,
+                             tile_page=tile_page)
     for i, h in enumerate(schedule):
         # bulk rounds run static candidates plus a small serve bound
         # (serve_bulk crossings beyond the KMAX candidates); the FINAL
@@ -1677,6 +2187,14 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
         serve_width = DEFAULT_SERVE_WIDTH
     if cloop is None:
         cloop = DEFAULT_CLOOP
+    if G > PAGE:
+        # paged L0: no in-kernel serve/extra (the SMEM cell->slot map
+        # does not scale past G=64 — module paged-L0 notes); drains run
+        # by ladder + candidate coverage with recorded tail rounds
+        assert not OCT_SORT, "OCT_SORT keys collide with page-band keys"
+        serve = 0
+        extra = 0
+        serve_bulk = 0
     if cont is None:
         # the coverage loop subsumes the unrolled crossing (its first
         # iteration IS the cont=1 crossing); compiling both would double
@@ -1735,6 +2253,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
     # but round 0 must still execute its one classify crossing — and
     # matching the static path's round-0 config keeps the jit cache hot)
     none_slot = jnp.full((S // TILE, KMAX), -1, i32)
+    none_page = (jnp.full((S // TILE, KPAGE), -1, i32) if G > PAGE
+                 else None)
     state = _run_kernel(none_slot, none_slot, wscene.l0_occ,
                         wscene.l0_mixed, wscene.occ_words, state, G=G,
                         NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
@@ -1742,16 +2262,17 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                         cont=1, cam=cam, cam_dims=cam_dims, extra=extra,
                         brick_slot=wscene.brick_slot,
                         sc_words=wscene.sc_words, sc_skip=sc_skip,
-                        l0_sc=wscene.l0_sc)
+                        l0_sc=wscene.l0_sc, tile_page=none_page)
     if profile is not None:
         profile.setdefault("rounds", []).append(
             dict(r=0, size=S, active=int(jnp.sum(state[0] != KEY_DONE))))
 
     if local_round1:
         # round 1 without the global sort: pixel-coherent tile tables
-        tile_slot, tile_cell, _n = _tile_tables_local(
+        tile_slot, tile_cell, tile_page, _n = _tile_tables_local(
             state[0], wscene.brick_slot, cam, cam_dims=cam_dims,
-            state=state, G=G, predict=PREDICT)
+            state=state, G=G, predict=PREDICT,
+            l0_occ=wscene.l0_occ if G > PAGE else None)
         state = _run_kernel(tile_slot, tile_cell, wscene.l0_occ,
                             wscene.l0_mixed, wscene.occ_words, state, G=G,
                             NM=NM, inner_cap=inner_cap, l0_cap=l0_cap,
@@ -1761,7 +2282,8 @@ def intersect_wavefront(wscene, origins, dirs, max_depth=None,
                             sc_words=wscene.sc_words, sc_skip=sc_skip,
                             l0_sc=wscene.l0_sc,
                             serve=serve if serve_local else 0,
-                            serve_width=serve_width, cloop=cloop)
+                            serve_width=serve_width, cloop=cloop,
+                            tile_page=tile_page)
         if profile is not None:
             profile["rounds"].append(
                 dict(r="1L", size=S,

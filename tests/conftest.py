@@ -88,7 +88,19 @@ def _clear_jax_caches_per_module():
     ~160 heavy interpret-mode compiles in one process and the CPU
     compiler segfaults near the end once its accumulated state grows
     past ~40 min of compilation (r3: reproducible at the same spot,
-    while any subset passes) — clearing per module keeps it bounded."""
+    while any subset passes).
+
+    ROOT CAUSE (r5, scripts/repro_cpu_segfault.py): every distinct-shape
+    interpret-mode wavefront compile leaks ~40 MB of XLA:CPU executable
+    + tracing-cache state that nothing bounds — 80 synthetic compiles
+    measured 0.78 -> 3.9 GB RSS still climbing linearly, while the same
+    load with jax.clear_caches() every 10 iterations stays flat at
+    ~1.4 GB.  The suite's ~160 larger compiles extrapolate past 10 GB
+    plus allocator fragmentation, where XLA:CPU dies.  Per-module
+    clearing is the correct mitigation (caches are per-module anyway —
+    fixtures rebuild scenes), not a workaround for a repo bug; the
+    unbounded growth itself is upstream (jax/XLA:CPU keeps every
+    compiled executable alive for the process lifetime by design)."""
     yield
     import jax
 

@@ -1,0 +1,161 @@
+"""Paged-L0 wavefront traversal (G > 64 — worlds above 2048^3).
+
+The reference supports up to 8192^3 (README.md:7; world math
+Octree.java:237-244).  The flat L0 coarse-refine tables stop at G=64, so
+bigger worlds run the PAGED layout (ops/wavefront.py paged-L0 notes):
+per-64^3-brick-page tables served as per-tile candidates, page-band keys
+for punted lanes, slot-only packed hit records, optional int16 attrs.
+
+The oracle (ops/brick_trace.intersect_bricks) is G-agnostic, so parity
+is checked directly on a synthetic sparse 4096^3 scene.  Everything runs
+interpret-mode on CPU (conftest pins cpu).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from svo_raytracer_tpu.ops import brick_dda, brick_scene, brick_trace
+from svo_raytracer_tpu.ops import wavefront as wf
+
+
+def _sparse_4096_scene():
+    """Synthetic sparse 4096^3 BrickScene (G=128, P=2): a uniform-solid
+    brick patch, half-filled mixed bricks above it, plus content in a
+    second page so page crossings and band-key punts are exercised."""
+    G, WS = 128, 4096
+
+    def cid(x, y, z):
+        return (x * G + y) * G + z
+
+    brick_slot = np.full(G * G * G, -1, np.int32)
+    brick_attr = np.zeros(G * G * G, np.int64)
+    uni_attr = 1 | (555 << 8) | (7 << 24)
+    for x in range(52, 76):
+        for z in range(52, 76):
+            brick_attr[cid(x, 40, z)] = uni_attr
+    brick_attr[cid(20, 20, 20)] = uni_attr
+    mixed_cells = [cid(x, 41, z) for x in range(56, 72, 2)
+                   for z in range(56, 72, 2)]
+    mixed_cells.append(cid(100, 100, 100))   # page (1,1,1)
+    n_mixed = len(mixed_cells)
+    brick_slot[np.asarray(mixed_cells)] = np.arange(n_mixed, dtype=np.int32)
+
+    attrs = np.zeros((n_mixed, 32768), np.int32)
+    vy = (np.arange(32768) // 32) % 32
+    attrs[:, :] = np.where(vy < 16, 2 | (595 << 8) | (12 << 24), 0)[None]
+    occ = brick_scene.occupancy_words(attrs)
+    l0 = ((brick_attr & 0xFF) != 0) | (brick_slot >= 0)
+    l0_table = np.asarray(brick_dda.table_rows(
+        brick_dda.pack_occupancy(l0.reshape(G, G, G)))).astype(np.int32)
+    return brick_scene.BrickScene(
+        world_size=WS, grid_size=G, n_mixed=n_mixed, l0_table=l0_table,
+        brick_slot=brick_slot, brick_attr=brick_attr.astype(np.int32),
+        occ_words=occ, attrs=attrs.reshape(n_mixed, 256, 128))
+
+
+@pytest.fixture(scope="module")
+def paged_scene():
+    scene = _sparse_4096_scene()
+    return scene, scene.to_device(), wf.prepare(scene)
+
+
+def _rand_rays(n, seed):
+    rs = np.random.RandomState(seed)
+    o = (rs.rand(n, 3) * 0.9 + 1.05).astype(np.float32)
+    d = rs.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+@pytest.mark.slow
+def test_paged_matches_oracle(paged_scene):
+    scene, dscene, W = paged_scene
+    assert W.grid_size > wf.PAGE  # exercises the paged path
+    o, d = _rand_rays(2048, 5)
+    ref = brick_trace.intersect_bricks(dscene, jnp.asarray(o),
+                                       jnp.asarray(d))
+    got = wf.intersect_wavefront(W, jnp.asarray(o), jnp.asarray(d),
+                                 interpret=True)
+    rh, gh = np.asarray(ref.hit), np.asarray(got.hit)
+    assert (rh == gh).all()
+    both = rh & gh
+    assert both.sum() > 10  # the scene is actually hit
+    assert (np.abs(np.asarray(ref.t) - np.asarray(got.t))[both]
+            <= 2e-4).all()
+    assert (np.asarray(ref.value)[both]
+            == np.asarray(got.value)[both]).all()
+    # voxel coords (recomputed from t under the slot-only pack) agree
+    for fld in ("voxel_pos",):
+        rv = np.asarray(getattr(ref, fld))[both]
+        gv = np.asarray(getattr(got, fld))[both]
+        ok = np.isfinite(rv) & np.isfinite(gv)
+        assert np.allclose(rv[ok], gv[ok], atol=2e-3)
+
+
+@pytest.mark.slow
+def test_paged_attr16_matches_int32(paged_scene):
+    scene, _dscene, W = paged_scene
+    W16 = wf.prepare(scene, attr16=True)
+    assert W16.attr_comb.dtype == jnp.int16
+    o, d = _rand_rays(1024, 7)
+    a = wf.intersect_wavefront(W, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+    b = wf.intersect_wavefront(W16, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+    ah = np.asarray(a.hit)
+    assert (ah == np.asarray(b.hit)).all()
+    assert (np.asarray(a.value)[ah] == np.asarray(b.value)[ah]).all()
+    assert (np.asarray(a.depth)[ah] == np.asarray(b.depth)[ah]).all()
+    an = np.asarray(a.normal)[ah]
+    bn = np.asarray(b.normal)[ah]
+    fin = np.isfinite(an) & np.isfinite(bn)
+    assert np.allclose(an[fin], bn[fin])
+
+
+def test_attr16_roundtrip():
+    """Encode/decode identity for every representable i32 attr word."""
+    rs = np.random.RandomState(0)
+    v = rs.randint(0, 4, 4096)
+    raw = rs.randint(0, 1000, 4096)
+    depth = rs.randint(5, 13, 4096)
+    a32 = (v | (raw << 8) | (depth << 24)).astype(np.int64)
+    a32[0] = 0  # air
+    enc = wf._encode_attr16(a32, 12)
+    a = enc.astype(np.int64) & 0xFFFF
+    dec_v = a & 3
+    dec_raw = (a >> 2) & 0x3FF
+    dec_depth = 12 - ((a >> 12) & 7)
+    nz = a32 != 0
+    assert (dec_v[nz] == v[nz]).all()
+    assert (dec_raw[nz] == raw[nz]).all()
+    assert (dec_depth[nz] == depth[nz]).all()
+    assert enc[0] == 0
+
+
+def test_page_tables_layout():
+    """Page-table rows decode back to the brick occupancy they encode."""
+    scene = _sparse_4096_scene()
+    tabs, prow = wf._page_tables_np(scene)
+    G = scene.grid_size
+    P = G // wf.PAGE
+    assert tabs.shape == (P ** 3, wf.PAGE_ROWS, 128)
+    occ3 = (((scene.brick_attr & 0xFF) != 0)
+            | (scene.brick_slot >= 0)).reshape(G, G, G)
+    pocc_bits = np.asarray(prow).view(np.uint32).reshape(-1)
+    for pg in range(P ** 3):
+        px, py, pz = pg // (P * P), (pg // P) % P, pg % P
+        sub = occ3[px * 64:(px + 1) * 64, py * 64:(py + 1) * 64,
+                   pz * 64:(pz + 1) * 64]
+        assert bool((pocc_bits[pg // 32] >> (pg % 32)) & 1) == sub.any()
+        if not sub.any():
+            continue
+        # spot-check byte-cell bits of this page against the occupancy
+        bw = np.asarray(tabs[pg, :64]).view(np.uint32).reshape(-1)
+        xs, ys, zs = np.nonzero(sub)
+        for x, y, z in list(zip(xs, ys, zs))[:64]:
+            c = ((x // 2) * 32 + (y // 2)) * 32 + (z // 2)
+            byte = (bw[c // 4] >> ((c % 4) * 8)) & 0xFF
+            bit = ((x & 1) << 2) | ((y & 1) << 1) | (z & 1)
+            assert (byte >> bit) & 1

@@ -188,6 +188,14 @@ PAGE_ROWS = 137   # 64 occ-byte ++ 8 occ-coarse ++ 64 mixed-byte ++ 1 sc
 # its lanes' paths (with plain cell keys a bounce tile mixes all 8
 # octants and the marched candidates fit nobody).  A/B lever (r5).
 OCT_SORT = os.environ.get("SVO_WAVE_OCT", "0") != "0"
+# Distance-field supercell jumps (VERDICT r5 item 1b): the supercell
+# rows store a 4-bit chebyshev distance per 8^3-brick group instead of
+# an any-bit, and _dda_cr's sc jump crosses d supercells analytically
+# in ONE iteration (d=1 == the r4 single-supercell skip; same fetch,
+# same row).  Long empty-space runs — the sky half of every bounce
+# ladder — collapse from ~n iterations to ~log-ish few.  Off: the jump
+# arithmetic degrades to d=1 on the same tables (A/B lever).
+SC_DIST = os.environ.get("SVO_WAVE_SCDIST", "1") != "0"
 
 
 def _oct_shift(G):
@@ -226,9 +234,10 @@ class WaveScene:
     slot_cell: Any = None  # (capacity,) i32 — mixed slot -> L0 cell (G>32)
     sc_words: Any = None   # (capacity, 1, 128) i32 — 16^3 coarse (2-voxel
                            # cell) occupancy bits: bit c&31 of word c>>5
-    l0_sc: Any = None      # (1, 128) i32 — (G/8)^3 super-L0 bits, bit
-                           # (sx*n+sy)*n+sz = any occupied brick in the
-                           # 8^3 brick group
+    l0_sc: Any = None      # (1, 128) i32 — (G/8)^3 super-L0 chebyshev
+                           # distance NIBBLES, cell (sx*n+sy)*n+sz at
+                           # word c>>3 bits (c&7)*4; 0 = some occupied
+                           # brick in the 8^3 group (_l0_super_words)
     fingerprint: int = 0   # cheap scene-content hash: keys the persisted
                            # schedule cache so two scenes with equal
                            # (world_size, n_mixed) can't swap ladders
@@ -347,21 +356,55 @@ def _l0_cr_tables(scene):
     return np.concatenate([bw[0], cw[0]], axis=0)
 
 
+def _cheby_dist(occ, cap=15):
+    """Chebyshev distance transform on a (..., n, n, n) bool grid:
+    0 where occupied, else L-inf distance to the nearest occupied cell
+    (clipped to ``cap``; all-``cap`` for empty grids — a jumping ray
+    just exits the box).  Iterative 3^3 min-filter, n passes — grids
+    here are <= 8^3 so this is microseconds at prepare time."""
+    n = occ.shape[-1]
+    d = np.where(occ, 0, cap).astype(np.int32)
+    for _ in range(min(n, cap)):
+        p = np.pad(d, [(0, 0)] * (d.ndim - 3) + [(1, 1)] * 3,
+                   constant_values=cap)
+        m = d
+        for ax in (-1, 0, 1):
+            for ay in (-1, 0, 1):
+                for az in (-1, 0, 1):
+                    m = np.minimum(
+                        m, p[..., 1 + ax:1 + ax + n, 1 + ay:1 + ay + n,
+                             1 + az:1 + az + n] + 1)
+        d = m
+    return np.minimum(d, cap)
+
+
+def _pack_nibbles(vals, words=128):
+    """(..., m) ints in [0,15] -> (..., words) i32, nibble i at word
+    i>>3 bits (i&7)*4 (the supercell distance-row layout)."""
+    v = np.asarray(vals, np.uint32)
+    m = v.shape[-1]
+    out = np.zeros(v.shape[:-1] + (words,), np.uint32)
+    for b in range(m):
+        out[..., b // 8] |= (v[..., b] & 0xF) << np.uint32((b % 8) * 4)
+    return out.view(np.int32)
+
+
 def _l0_super_words(scene):
-    """(1,128) i32: 8^3-brick-group occupancy bits of the L0 grid.
-    Worlds smaller than 8 bricks/edge get an all-ones mask (the skip
-    never fires; the kernel also disables the probe for G<8)."""
+    """(1,128) i32: per-8^3-brick-group (supercell) chebyshev DISTANCE
+    nibbles of the L0 grid — 4 bits each, 0 = supercell occupied, d > 0
+    = every supercell within chebyshev radius d-1 is empty (so the
+    kernel's sc jump may cross d supercells analytically; SC_DIST=off
+    degrades to the r4 single-supercell skip on the same table).
+    Worlds smaller than 8 bricks/edge get all-zeros (never skip; the
+    kernel also disables the probe for G<8)."""
     G = scene.grid_size
     n = G // 8
     if n == 0:
-        return np.full((1, 128), -1, np.int32)
+        return np.zeros((1, 128), np.int32)
     occ3 = ((np.asarray(scene.brick_slot) >= 0)
             | ((np.asarray(scene.brick_attr) & 0xFF) != 0)).reshape(G, G, G)
-    sup = occ3.reshape(n, 8, n, 8, n, 8).any(axis=(1, 3, 5)).reshape(-1)
-    out = np.zeros(128, np.uint32)
-    for b in range(sup.shape[0]):
-        out[b // 32] |= np.uint32(bool(sup[b])) << np.uint32(b % 32)
-    return out.view(np.int32).reshape(1, 128)
+    sup = occ3.reshape(n, 8, n, 8, n, 8).any(axis=(1, 3, 5))
+    return _pack_nibbles(_cheby_dist(sup).reshape(1, -1))
 
 
 def _page_tables_np(scene):
@@ -370,8 +413,9 @@ def _page_tables_np(scene):
       [0:64)    occupied-brick byte-cell rows   (_cr_split fine words)
       [64:72)   occupied-brick coarse-bit rows
       [72:136)  mixed-brick byte-cell rows      (same c>>2 layout)
-      [136]     supercell row: bit (sx*8+sy)*8+sz = any occupied brick
-                in the 8^3-brick group (512 bits = 16 words)
+      [136]     supercell row: chebyshev-distance NIBBLE per 8^3-brick
+                group at (sx*8+sy)*8+sz (512 nibbles = 64 words; 0 =
+                occupied — see _l0_super_words)
     """
     G = scene.grid_size
     P = G // PAGE
@@ -389,13 +433,11 @@ def _page_tables_np(scene):
     bw, cw = _cr_split(occp)            # (P^3, 64, 128), (P^3, 8, 128)
     mbw, _ = _cr_split(mixp)            # (P^3, 64, 128)
     n = P ** 3
+    # supercell row: chebyshev-distance NIBBLE per 8^3-brick group
+    # (same encoding as _l0_super_words; 512 nibbles = 64 words)
     sup = occp.reshape(n, 8, 8, 8, 8, 8, 8).any(axis=(2, 4, 6))
-    sup = sup.reshape(n, 512)
-    scw = np.zeros((n, 128), np.uint32)
-    for b in range(512):
-        scw[:, b // 32] |= sup[:, b].astype(np.uint32) << np.uint32(b % 32)
-    tabs = np.concatenate(
-        [bw, cw, mbw, scw.view(np.int32).reshape(n, 1, 128)], axis=1)
+    scw = _pack_nibbles(_cheby_dist(sup).reshape(n, 512))
+    tabs = np.concatenate([bw, cw, mbw, scw.reshape(n, 1, 128)], axis=1)
     assert tabs.shape[1] == PAGE_ROWS
     pocc = occp.reshape(n, -1).any(axis=1)
     prow = np.zeros(128, np.uint32)
@@ -589,8 +631,11 @@ def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
         march resumes.  The refine is lax.cond-gated on "any lane needs
         it", so iterations through empty space never pay for it;
       * ``sc_probe(sx, sy, sz)`` (optional, 4^3-COARSE-cell supercells
-        = the v3 8^3-fine granularity) jumps empty super-regions in one
-        iteration, state recomputed from the ray at the exit t.
+        = the v3 8^3-fine granularity) returns the supercell's i32
+        chebyshev distance to the nearest occupied supercell (0 =
+        occupied); empty super-regions are jumped in ONE iteration —
+        d-1 supercells past the current one when SC_DIST, else just the
+        current — state recomputed from the ray at the exit t.
 
     Decision-equivalent to brick_trace._march: every coarse boundary is
     a fine boundary, entries are nudged by the same 1e-4*cell, and the
@@ -743,14 +788,29 @@ def _dda_cr(px, py, pz, dxc, dyc, dzc, inv_x, inv_y, inv_z, n, cell,
         if sc_probe is not None:
             # empty supercell: jump to its exit in one iteration (a
             # refine hit inside an empty supercell is impossible, so
-            # skip and hit are mutually exclusive by construction)
-            skip = act & ~sc_probe(ccx >> 2, ccy >> 2, ccz >> 2)
+            # skip and hit are mutually exclusive by construction).
+            # sc_probe returns the supercell's chebyshev DISTANCE d
+            # (i32, 0 = occupied): with SC_DIST every supercell within
+            # radius d-1 is empty, so the jump may cross the box
+            # extending d-1 supercells (4(d-1) coarse cells) beyond the
+            # current one per axis — long empty runs retire in one
+            # iteration instead of one per supercell.
+            d_sc = sc_probe(ccx >> 2, ccy >> 2, ccz >> 2)
+            skip = act & (d_sc > 0)
+            ext = ((d_sc - 1).astype(f32) * f32(4.0) if SC_DIST
+                   else f32(0.0))
             remx = jnp.where(sx > 0, 3 - (ccx & 3), ccx & 3).astype(f32)
             remy = jnp.where(sy > 0, 3 - (ccy & 3), ccy & 3).astype(f32)
             remz = jnp.where(sz > 0, 3 - (ccz & 3), ccz & 3).astype(f32)
-            t_exit = jnp.minimum(jnp.minimum(tx + remx * adx,
-                                             ty + remy * ady),
-                                 tz + remz * adz) + f32(1e-4) * cell2
+            t_exit = jnp.minimum(jnp.minimum(tx + (remx + ext) * adx,
+                                             ty + (remy + ext) * ady),
+                                 tz + (remz + ext) * adz) \
+                + f32(1e-4) * cell2
+            # never jump past the grid box: the distance field knows
+            # nothing beyond it (a paged world's neighbor PAGE may be
+            # solid right across the boundary — the caller's outer
+            # march re-enters it with that page's own tables)
+            t_exit = jnp.minimum(t_exit, t_out + f32(1e-4) * cell2)
             qx2 = px + t_exit * dxc
             qy2 = py + t_exit * dyc
             qz2 = pz + t_exit * dzc
@@ -960,8 +1020,8 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
 
         def l0_sc_probe(sx_, sy_, sz_):
             sbit = (sx_ * nsc + sy_) * nsc + sz_
-            w = jnp.take_along_axis(l0sc_rows, sbit >> 5, axis=1)
-            return ((w >> (sbit & 31)) & 1) != 0
+            w = jnp.take_along_axis(l0sc_rows, sbit >> 3, axis=1)
+            return (w >> ((sbit & 7) * 4)) & 0xF
         occ_rows_j = [_bcast_rows(occ_refs[j][0], 8) for j in range(KMAX)]
         sc_rows_j = [jnp.broadcast_to(sc_refs[j][0], (8, LANES))
                      for j in range(KMAX)]
@@ -1087,8 +1147,8 @@ def _wf_kernel(G, NM, inner_cap, l0_cap, early_exit, cont, cam_dims, extra,
                             def scp(sx_, sy_, sz_):
                                 sbit = (sx_ * 8 + sy_) * 8 + sz_
                                 ww = jnp.take_along_axis(sc_row,
-                                                         sbit >> 5, axis=1)
-                                return ((ww >> (sbit & 31)) & 1) != 0
+                                                         sbit >> 3, axis=1)
+                                return (ww >> ((sbit & 7) * 4)) & 0xF
 
                             pjx = (pj // (P * P)).astype(f32) * PGV
                             pjy = ((pj // P) % P).astype(f32) * PGV

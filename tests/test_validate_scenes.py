@@ -53,3 +53,28 @@ def test_scene3_smoke():
     assert cfg.render_mode == 0
     rep = validate.validate_tree(tree.to_numpy())
     assert rep.ok, rep.errors
+
+
+def test_scene5_brick_smoke():
+    """scene_5 production path at 1/32 scale (256^3): direct BrickScene
+    build + wavefront probe agreement with the closed-form surface."""
+    import jax.numpy as jnp
+
+    from svo_raytracer_tpu.ops import wavefront as wf
+
+    scene, cam, cfg = scenes.scene_5_brick(scale=1 / 32)
+    assert scene.world_size == 256 and scene.n_mixed > 0
+    W = wf.prepare(scene)
+    hm = scenes._fractal_heightmap(256)
+    h = (hm.astype(np.float64) / 65536.0 * 128).astype(np.int64)
+    rs = np.random.RandomState(5)
+    vx = rs.randint(8, 248, 64)
+    vz = rs.randint(8, 248, 64)
+    o = np.stack([1 + (vx + 0.5) / 256, np.full(64, 1.999),
+                  1 + (vz + 0.5) / 256], 1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (64, 1))
+    r = wf.intersect_wavefront(W, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+    t_exp = 1.999 - (1 + (h[vx, vz] + 1) / 256)
+    ok = np.asarray(r.hit) & (np.abs(np.asarray(r.t) - t_exp) < 1e-3)
+    assert ok.mean() >= 0.98, ok.mean()

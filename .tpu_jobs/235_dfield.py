@@ -1,13 +1,9 @@
-"""r5 job 210: candidate-coverage sweep — KMAX x OCT_SORT (VERDICT r5
-item 1a).  Can wide COVERED candidate sets + direction-octant sort keys
-collapse the gi ladder to ~2-4 rounds?
+"""r5 job 215: distance-field supercell jump A/B (VERDICT r5 item 1b).
 
-Replay-only segment measurements (no recorded schedules): prim with the
-generic 8-round ladder, gi with BOTH the generic ladder and a short
-4-round ladder (final round serve-drains, so short ladders complete and
-their time shows what coverage buys).  Also times _sort_stage alone at
-full gi size (the per-round sort+tables term).  Module reloaded per
-config (stale shape-keyed jit caches crash the chip, CLAUDE.md).
+Same tables both ways (chebyshev nibbles); SC_DIST=off degrades the
+jump arithmetic to the r4 single-supercell skip.  Segment-level replays
+as in job 210, in-job adjacent: ON first (this round's default), OFF
+second, then ON again to bracket drift.
 """
 import importlib
 import json
@@ -32,7 +28,6 @@ tree, _ = bench.build_scene(1024, 512)
 b0 = bench.build_brick_scene(tree, 1024)
 W, H = 1920, 1080
 GEN_SCHED = (0, 0, 1, 1, 1, 1, 2, 2)
-SHORT_SCHED = (0, 0, 1, 1)
 
 
 def gi_state(wf, wsc):
@@ -76,15 +71,13 @@ def timed(f, n=3):
     return r, round((time.time() - t0) / n * 1e3, 1), round(compile_s, 1)
 
 
-# (KMAX, OCT) ladder: in-job baseline first
-for KM, OCT in ((8, 0), (8, 1), (16, 1), (16, 0), (32, 1)):
-    if time.time() > DEADLINE - 1200:
+for DF in (0, 1):
+    if time.time() > DEADLINE - 900:
         out(what="stop", reason="deadline")
         break
     try:
         wf = importlib.reload(wfmod)
-        wf.KMAX = KM
-        wf.OCT_SORT = bool(OCT)
+        wf.SC_DIST = bool(DF)
         wsc = wf.prepare(b0)
         jax.block_until_ready(wsc.attr_comb)
         cam5, origins, dirs, o2, d2, active = gi_state(wf, wsc)
@@ -92,31 +85,15 @@ for KM, OCT in ((8, 0), (8, 1), (16, 1), (16, 0), (32, 1)):
         r, ms, cs = timed(lambda: wf.intersect_wavefront(
             wsc, origins, dirs, camera=(cam5, W, H), cam_block=True,
             schedule=GEN_SCHED, serve_local=False))
-        out(what="prim", kmax=KM, oct=OCT, ms=ms, compile_s=cs,
+        out(what="prim", scdist=DF, ms=ms, compile_s=cs,
             n_left=int(r[1]), hits=int(jnp.sum(r[0].hit)))
 
-        for tag, sched in (("gi_gen", GEN_SCHED), ("gi_short", SHORT_SCHED)):
-            r, ms, cs = timed(lambda: wf.intersect_wavefront(
-                wsc, o2, d2, active=active, schedule=sched,
-                serve_local=False, cloop=64))
-            out(what=tag, kmax=KM, oct=OCT, ms=ms, compile_s=cs,
-                n_left=int(r[1]), hits=int(jnp.sum(r[0].hit)))
-
-        # per-round sort+tables cost at full gi size (explicit mode:
-        # 11 sorted operands; ws in voxels, G = brick-grid size)
-        B = o2.shape[0]
-        state = wf._init_state(o2, d2, active, 1024, B)
-        st = wf._sort_stage(state, wsc.brick_slot, G=32,
-                            predict=wf.PREDICT)
-        jax.block_until_ready(st[0])
-        t0 = time.time()
-        for _ in range(10):
-            st = wf._sort_stage(state, wsc.brick_slot, G=32,
-                                predict=wf.PREDICT)
-        jax.block_until_ready(st[0])
-        out(what="sort_stage", kmax=KM, oct=OCT, B=int(B),
-            ms=round((time.time() - t0) / 10 * 1e3, 2))
+        r, ms, cs = timed(lambda: wf.intersect_wavefront(
+            wsc, o2, d2, active=active, schedule=GEN_SCHED,
+            serve_local=False, cloop=64))
+        out(what="gi_gen", scdist=DF, ms=ms, compile_s=cs,
+            n_left=int(r[1]), hits=int(jnp.sum(r[0].hit)))
     except Exception:
         traceback.print_exc()
-        out(what="failed", kmax=KM, oct=OCT)
+        out(what="failed", scdist=DF)
 out(what="done")

@@ -454,14 +454,24 @@ def _encode_attr16(a32, full_depth):
     shipped scenes) and (b) the subdividable stale-mask normal quirk
     (raw is a 16-bit leaf mask there; clipped to 10 bits) — neither is
     reachable from the direct heightmap builder (models/bigworld.py).
-    Decoded back to the i32 layout inside _finish."""
-    a = np.asarray(a32).astype(np.int64)
-    v = a & 3
-    raw = (a >> 8) & 0x3FF
-    depth = (a >> 24) & 0x1F
-    dd = np.clip(full_depth - depth, 0, 7)
-    dd = np.where(a == 0, 0, dd)
-    return (v | (raw << 2) | (dd << 12)).astype(np.uint16).view(np.int16)
+    Decoded back to the i32 layout inside _finish.  Processes in
+    chunks and stays in int32: an 8192^3 world's attrs are ~6.2 G
+    elements — the original whole-array int64 temporaries peaked at
+    >100 GB host RSS (measured r5 job 232)."""
+    a32 = np.asarray(a32)
+    flat = a32.reshape(-1)
+    out = np.empty(flat.shape, np.int16)
+    step = 1 << 26
+    for i in range(0, flat.shape[0], step):
+        a = flat[i:i + step]
+        v = a & 3
+        raw = (a >> 8) & 0x3FF
+        depth = (a >> 24) & 0x1F
+        dd = np.clip(full_depth - depth, 0, 7).astype(np.int32)
+        dd = np.where(a == 0, 0, dd)
+        out[i:i + step] = (v | (raw << 2)
+                           | (dd << 12)).astype(np.uint16).view(np.int16)
+    return out.reshape(a32.shape)
 
 
 def prepare(scene, capacity: int | None = None,

@@ -2102,9 +2102,27 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
         vz = jnp.clip(p[:, 2].astype(i32), bz * 32, bz * 32 + 31)
         widx = ((vx - bx * 32) * 1024 + (vy - by * 32) * 32
                 + (vz - bz * 32))
-    aidx = jnp.where(uni == 1, i32(capacity) * 32768 + cell,
-                     slot * 32768 + widx)
-    attr_raw = jnp.where(hit, attr_comb[jnp.where(hit, aidx, 0)], 0)
+    if attr_comb.size > (1 << 31) - 1:
+        # 8192^3-class worlds: attr_comb exceeds int32 addressing
+        # (capacity*32768 + G^3 ~ 6.8e9 at n_mixed ~ 190k), so the flat
+        # aidx cannot even be FORMED in i32.  Gather two-level instead:
+        # row = slot (mixed) / capacity + cell>>15 (uniform), col =
+        # within-row half-word — both < 2^31.  G^3 is 32768-divisible
+        # for every G >= 32, so the tail reshapes cleanly.
+        row = jnp.where(uni == 1, i32(capacity) + (cell >> 15), slot)
+        col = jnp.where(uni == 1, cell & 32767, widx)
+        row = jnp.where(hit, row, 0)
+        attr_raw = jnp.where(
+            hit, attr_comb.reshape(-1, 32768)[row, jnp.where(hit, col, 0)],
+            0)
+        # node ids (diff-path parameter keys) would overflow too; the
+        # differentiable path already rejects paged worlds, so a
+        # brick-level id keeps the field well-defined
+        aidx = row
+    else:
+        aidx = jnp.where(uni == 1, i32(capacity) * 32768 + cell,
+                         slot * 32768 + widx)
+        attr_raw = jnp.where(hit, attr_comb[jnp.where(hit, aidx, 0)], 0)
     if attr_comb.dtype == jnp.int16:
         # half-word decode (_encode_attr16): value(2) | raw(10) | dd(3)
         a = attr_raw.astype(i32) & 0xFFFF

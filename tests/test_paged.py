@@ -204,3 +204,48 @@ def test_paged_frame_render(paged_scene):
     # the zero vector; normalize(0) NaN is pinned GLSL parity) — assert
     # finiteness only where depth says no hit (sky shading path)
     assert np.isfinite(np.asarray(col)[dep == 0]).all()
+
+
+def test_finish_big_attr_two_level_gather():
+    """_finish's >2^31 attr_comb branch (8192^3-class attr16 worlds):
+    the flat aidx cannot be formed in int32, so mixed and uniform hits
+    resolve through a (row, col) two-level gather.  Craft a 2.3G-half-
+    word attr_comb and check both decode paths bit-for-bit."""
+    ws_, G, cap = 8192, 256, 70000
+    full_depth = 13
+    n_total = cap * 32768 + G * G * G
+    assert n_total > (1 << 31) - 1
+    attr_comb = np.zeros(n_total, np.int16)
+    # mixed hit: slot=69999, voxel widx inside brick cell (3,4,5)
+    slot, cell_m = 69999, (3 * G + 4) * G + 5
+    vx = 3 * 32 + 7
+    vy = 4 * 32 + 9
+    vz = 5 * 32 + 11
+    widx = (vx % 32) * 1024 + (vy % 32) * 32 + (vz % 32)
+    a_m = 2 | (595 << 8) | (full_depth << 24)
+    attr_comb[slot * 32768 + widx] = int(wf._encode_attr16(
+        np.asarray([a_m]), full_depth)[0])
+    # uniform hit: cell near the END of the tail (index > 2^31)
+    cell_u = (200 * G + 100) * G + 50
+    a_u = 1 | ((full_depth - 5) << 24)
+    attr_comb[cap * 32768 + cell_u] = int(wf._encode_attr16(
+        np.asarray([a_u]), full_depth)[0])
+    slot_cell = np.zeros(cap, np.int32)
+    slot_cell[slot] = cell_m
+    # rays: t/origin/dir chosen so the voxel recompute lands in-brick
+    o = np.asarray([[1.0 + (vx + 0.4) / ws_, 1.0 + (vy + 0.4) / ws_,
+                     1.0 + (vz + 0.4) / ws_],
+                    [1.0 + (200 * 32 + 5.4) / ws_,
+                     1.0 + (100 * 32 + 6.4) / ws_,
+                     1.0 + (50 * 32 + 7.4) / ws_]], np.float32)
+    d = np.asarray([[0, 0, 1], [0, 0, 1]], np.float32)
+    opack = jnp.asarray([(1 << 29) | slot, (1 << 30) | cell_u], jnp.int32)
+    ot = jnp.zeros(2, jnp.float32)
+    oit = jnp.zeros(2, jnp.int32)
+    res = wf._finish(opack, ot, oit, jnp.zeros(2, jnp.int32),
+                     jnp.asarray(slot_cell), jnp.asarray(attr_comb),
+                     jnp.asarray(o), jnp.asarray(d), ws_, 2, cap)
+    v = np.asarray(res.value)
+    dep = np.asarray(res.depth)
+    assert v[0] == 2 and dep[0] == full_depth
+    assert v[1] == 1 and dep[1] == full_depth - 5

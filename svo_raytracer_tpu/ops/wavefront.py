@@ -231,6 +231,7 @@ class WaveScene:
                      # in BYTE-CELL layout (_cr_split: byte c&3 of word
                      # c>>2 holds coarse cell c's 8 fine-voxel bits)
     attr_comb: Any   # (capacity*32768 + G^3,) i32 — mixed attrs ++ uniform
+                     # (2-D (capacity + G^3/32768, 32768) when > 2^31 elems)
     slot_cell: Any = None  # (capacity,) i32 — mixed slot -> L0 cell (G>32)
     sc_words: Any = None   # (capacity, 1, 128) i32 — 16^3 coarse (2-voxel
                            # cell) occupancy bits: bit c&31 of word c>>5
@@ -475,7 +476,8 @@ def _encode_attr16(a32, full_depth):
 
 
 def prepare(scene, capacity: int | None = None,
-            attr16: bool = False) -> WaveScene:
+            attr16: bool = False,
+            attr2d: bool | None = None) -> WaveScene:
     """Derive the wavefront tables from a BrickScene (one-time).
 
     Pass the HOST (NumPy) BrickScene, not ``.to_device()`` output: this
@@ -487,7 +489,10 @@ def prepare(scene, capacity: int | None = None,
     constants): ``l0_occ`` holds the (1,128) page-occupancy row,
     ``l0_mixed`` the (P^3 * PAGE_ROWS, 128) page tables, ``l0_sc`` a
     dummy row.  ``attr16`` stores attrs as int16 half-words
-    (_encode_attr16) — required to fit 8192^3 in HBM.
+    (_encode_attr16) — required to fit 8192^3 in HBM.  ``attr2d``
+    forces (or suppresses) the 2-D attr_comb storage that is otherwise
+    auto-selected for > 2^31-element tables; tests use it to exercise
+    the big-world gather path at small scale.
     """
     G = scene.grid_size
     paged = G > PAGE
@@ -518,19 +523,33 @@ def prepare(scene, capacity: int | None = None,
         b1 = min(b0 + 4096, nm)
         occ[b0:b1], scw[b0:b1] = _brick_cr(scene.occ_words[b0:b1])
     adt = np.int16 if attr16 else np.int32
-    attr_comb = np.zeros(capacity * 32768 + G * G * G, adt)
+    # >2^31-element attr tables (8192^3-class) are stored 2-D
+    # (capacity + G^3/32768, 32768): a flat i32 index cannot form, and a
+    # reshape inside jit(_finish) would materialize a second full copy
+    # of the table as an HLO temp (12.7 GB at 8192^3 — measured OOM,
+    # .tpu_jobs/237).  2-D rows gather directly with (row, col).
+    big = (capacity * 32768 + G * G * G > (1 << 31) - 1
+           if attr2d is None else attr2d)
+    if big:
+        # tail (uniform-cell attrs) padded up to whole rows; the
+        # (row, col) gather in _finish never reads past cell G^3-1
+        attr_comb = np.zeros((capacity - (-(G * G * G) // 32768), 32768),
+                             adt)
+    else:
+        attr_comb = np.zeros(capacity * 32768 + G * G * G, adt)
+    flat = attr_comb.reshape(-1)[:capacity * 32768 + G * G * G]
     full_depth = int(np.log2(scene.world_size))
     if attr16:
         for b0 in range(0, nm, 4096):
             b1 = min(b0 + 4096, nm)
-            attr_comb[b0 * 32768:b1 * 32768] = _encode_attr16(
+            flat[b0 * 32768:b1 * 32768] = _encode_attr16(
                 np.asarray(scene.attrs[b0:b1]).reshape(-1), full_depth)
-        attr_comb[capacity * 32768:] = _encode_attr16(
+        flat[capacity * 32768:] = _encode_attr16(
             np.asarray(scene.brick_attr, np.int32), full_depth)
     else:
-        attr_comb[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
-        attr_comb[capacity * 32768:] = np.asarray(scene.brick_attr,
-                                                  np.int32)
+        flat[:nm * 32768] = np.asarray(scene.attrs).reshape(-1)
+        flat[capacity * 32768:] = np.asarray(scene.brick_attr,
+                                             np.int32)
     slot_np = np.asarray(scene.brick_slot)
     slot_cell = np.zeros(capacity, np.int32)
     cells = np.nonzero(slot_np >= 0)[0]
@@ -582,7 +601,8 @@ def apply_patch(ws: WaveScene, scene, patch) -> WaveScene:
     uploads after an edit (Main.java:349-350).  Falls back to a full
     :func:`prepare` when the patch outgrows the slot capacity.
     """
-    if patch.n_mixed > ws.capacity or ws.grid_size > PAGE or ws.attr16:
+    if (patch.n_mixed > ws.capacity or ws.grid_size > PAGE or ws.attr16
+            or ws.attr_comb.ndim == 2):
         # paged / half-word scenes re-derive in full (incremental paths
         # for >2048^3 edits are future work; a full prepare is correct)
         return prepare(scene, capacity=max(ws.capacity, patch.n_mixed
@@ -2102,19 +2122,20 @@ def _finish(opack, ot, oit, brick_slot, slot_cell, attr_comb, origins, dirs,
         vz = jnp.clip(p[:, 2].astype(i32), bz * 32, bz * 32 + 31)
         widx = ((vx - bx * 32) * 1024 + (vy - by * 32) * 32
                 + (vz - bz * 32))
-    if attr_comb.size > (1 << 31) - 1:
+    if attr_comb.ndim == 2:
         # 8192^3-class worlds: attr_comb exceeds int32 addressing
         # (capacity*32768 + G^3 ~ 6.8e9 at n_mixed ~ 190k), so the flat
-        # aidx cannot even be FORMED in i32.  Gather two-level instead:
-        # row = slot (mixed) / capacity + cell>>15 (uniform), col =
-        # within-row half-word — both < 2^31.  G^3 is 32768-divisible
-        # for every G >= 32, so the tail reshapes cleanly.
+        # aidx cannot even be FORMED in i32.  prepare() stores such
+        # tables 2-D (capacity + G^3/32768, 32768) — reshaping here
+        # instead materialized a full 12.7 GB layout-change copy as an
+        # HLO temp and OOMed the chip (.tpu_jobs/237).  Gather
+        # two-level: row = slot (mixed) / capacity + cell>>15 (uniform),
+        # col = within-row half-word — both < 2^31.
         row = jnp.where(uni == 1, i32(capacity) + (cell >> 15), slot)
         col = jnp.where(uni == 1, cell & 32767, widx)
         row = jnp.where(hit, row, 0)
         attr_raw = jnp.where(
-            hit, attr_comb.reshape(-1, 32768)[row, jnp.where(hit, col, 0)],
-            0)
+            hit, attr_comb[row, jnp.where(hit, col, 0)], 0)
         # node ids (diff-path parameter keys) would overflow too; the
         # differentiable path already rejects paged worlds, so a
         # brick-level id keeps the field well-defined

@@ -114,6 +114,28 @@ def test_paged_attr16_matches_int32(paged_scene):
     assert np.allclose(an[fin], bn[fin])
 
 
+@pytest.mark.slow
+def test_paged_attr2d_matches_flat(paged_scene):
+    """attr2d=True (the auto layout for >2^31-element tables) must be
+    ray-for-ray identical to the flat attr16 layout — same scene, same
+    rays, only the attr_comb storage shape differs."""
+    scene, _dscene, _W = paged_scene
+    W16 = wf.prepare(scene, attr16=True)
+    W2d = wf.prepare(scene, attr16=True, attr2d=True)
+    assert W2d.attr_comb.ndim == 2
+    assert W2d.attr_comb.shape[1] == 32768
+    o, d = _rand_rays(1024, 7)
+    a = wf.intersect_wavefront(W16, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+    b = wf.intersect_wavefront(W2d, jnp.asarray(o), jnp.asarray(d),
+                               interpret=True)
+    ah = np.asarray(a.hit)
+    assert (ah == np.asarray(b.hit)).all()
+    for fld in ("value", "depth", "t"):
+        assert (np.asarray(getattr(a, fld))[ah]
+                == np.asarray(getattr(b, fld))[ah]).all()
+
+
 def test_attr16_roundtrip():
     """Encode/decode identity for every representable i32 attr word."""
     rs = np.random.RandomState(0)
@@ -207,9 +229,11 @@ def test_paged_frame_render(paged_scene):
 
 
 def test_finish_big_attr_two_level_gather():
-    """_finish's >2^31 attr_comb branch (8192^3-class attr16 worlds):
-    the flat aidx cannot be formed in int32, so mixed and uniform hits
-    resolve through a (row, col) two-level gather.  Craft a 2.3G-half-
+    """_finish's 2-D attr_comb branch (8192^3-class attr16 worlds):
+    the flat aidx cannot be formed in int32, so prepare() stores the
+    table 2-D and mixed/uniform hits resolve through a (row, col)
+    two-level gather (reshaping in-jit instead cost a full 12.7 GB
+    layout-change temp — the .tpu_jobs/237 OOM).  Craft a 2.3G-half-
     word attr_comb and check both decode paths bit-for-bit."""
     ws_, G, cap = 8192, 256, 70000
     full_depth = 13
@@ -243,7 +267,8 @@ def test_finish_big_attr_two_level_gather():
     ot = jnp.zeros(2, jnp.float32)
     oit = jnp.zeros(2, jnp.int32)
     res = wf._finish(opack, ot, oit, jnp.zeros(2, jnp.int32),
-                     jnp.asarray(slot_cell), jnp.asarray(attr_comb),
+                     jnp.asarray(slot_cell),
+                     jnp.asarray(attr_comb.reshape(-1, 32768)),
                      jnp.asarray(o), jnp.asarray(d), ws_, 2, cap)
     v = np.asarray(res.value)
     dep = np.asarray(res.depth)
